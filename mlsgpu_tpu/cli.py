@@ -1,0 +1,175 @@
+"""Command-line interface: `python -m mlsgpu_tpu -o out.ply in1.ply in2.ply`.
+
+Mirrors the reference's option surface (mlsgpu.cpp:186-263 +
+src/mlsgpu_core.cpp:78-137) including --fit-* knobs, memory/capacity sizes
+with B/K/M/G suffixes, checkpoint/resume, statistics and timeplot output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import List, Optional
+
+from mlsgpu_tpu import __version__
+from mlsgpu_tpu.config import ReconstructConfig, parse_capacity
+from mlsgpu_tpu.utils import logging as log
+from mlsgpu_tpu.utils import misc, timeplot
+from mlsgpu_tpu.utils.errors import MlsError
+from mlsgpu_tpu.utils.statistics import get_registry
+
+
+def build_parser() -> argparse.ArgumentParser:
+    d = ReconstructConfig()
+    p = argparse.ArgumentParser(
+        prog="mlsgpu_tpu",
+        description="TPU-native MLS surface reconstruction from point clouds")
+    p.add_argument("inputs", nargs="*", help="input PLY files")
+    p.add_argument("-o", "--output-file", required=True, help="output PLY file")
+    p.add_argument("--version", action="version", version=f"mlsgpu_tpu {__version__}")
+
+    g = p.add_argument_group("fit options")
+    g.add_argument("--fit-smooth", type=float, default=d.fit_smooth,
+                   help="smoothing factor [%(default)s]")
+    g.add_argument("--max-radius", type=float, default=None,
+                   help="limit influence radii before smoothing")
+    g.add_argument("--fit-grid", type=float, default=d.fit_grid,
+                   help="spacing of output grid [%(default)s]")
+    g.add_argument("--fit-prune", type=float, default=d.fit_prune,
+                   help="prune components smaller than this fraction [%(default)s]")
+    g.add_argument("--fit-boundary-limit", type=float, default=d.fit_boundary_limit,
+                   help="larger values preserve more of the boundary [%(default)s]")
+    g.add_argument("--fit-shape", choices=["sphere", "plane"], default=d.fit_shape)
+
+    a = p.add_argument_group("advanced")
+    a.add_argument("--levels", type=int, default=d.levels,
+                   help="octree levels [%(default)s]")
+    a.add_argument("--subsampling", type=int, default=d.subsampling,
+                   help="octree subsampling shift [%(default)s]")
+    a.add_argument("--leaf-cells", type=int, default=d.leaf_cells,
+                   help="microblock size in cells [%(default)s]")
+    a.add_argument("--max-device-splats", type=parse_capacity,
+                   default=d.max_device_splats,
+                   help="splat budget per device block [%(default)s]")
+    a.add_argument("--tile-candidates", type=parse_capacity, default=d.tile_candidates,
+                   help="per-tile candidate cap (auto-grows) [%(default)s]")
+    a.add_argument("--device-threads", type=int, default=d.device_threads)
+    a.add_argument("--num-devices", type=int, default=0,
+                   help="local devices to use (0 = all)")
+    a.add_argument("--split-size", type=parse_capacity, default=0,
+                   help="approximate size of output chunks (0 = single file)")
+    a.add_argument("--checkpoint", help="checkpoint state to PATH instead of writing")
+    a.add_argument("--resume", help="resume from checkpoint PATH (write only)")
+    a.add_argument("--tmp-dir", help="directory for temporary spill files")
+    a.add_argument("--reader", choices=["syscall", "mmap"], default="syscall")
+
+    o = p.add_argument_group("observability")
+    o.add_argument("--statistics", action="store_true",
+                   help="print statistics at exit")
+    o.add_argument("--statistics-file", help="write statistics to file")
+    o.add_argument("--timeplot", help="write timing trace to file")
+    o.add_argument("--quiet", action="store_true")
+    o.add_argument("--debug", action="store_true")
+    o.add_argument("--no-progress", action="store_true")
+    return p
+
+
+def config_from_args(args) -> ReconstructConfig:
+    return ReconstructConfig(
+        fit_smooth=args.fit_smooth,
+        fit_grid=args.fit_grid,
+        fit_prune=args.fit_prune,
+        fit_boundary_limit=args.fit_boundary_limit,
+        fit_shape=args.fit_shape,
+        max_radius=args.max_radius if args.max_radius is not None else float("inf"),
+        levels=args.levels,
+        subsampling=args.subsampling,
+        leaf_cells=args.leaf_cells,
+        max_device_splats=args.max_device_splats,
+        tile_candidates=args.tile_candidates,
+        device_threads=args.device_threads,
+        num_devices=args.num_devices,
+        output_split_size=args.split_size,
+        checkpoint=args.checkpoint,
+        resume=args.resume,
+        tmp_dir=args.tmp_dir,
+        timeplot=args.timeplot,
+        statistics=args.statistics,
+        statistics_file=args.statistics_file,
+        progress=not args.no_progress,
+    )
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: the block step compiles once per
+    padded-shape/cap combination; caching makes reruns and cap-growth
+    retries near-free."""
+    import os
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/mlsgpu_tpu/jax"))
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    _enable_compile_cache()
+    args = build_parser().parse_args(argv)
+    if args.quiet:
+        log.set_log_level("quiet")
+    elif args.debug:
+        log.set_log_level("debug")
+    cfg = config_from_args(args)
+    try:
+        cfg.validate()
+    except MlsError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+    if cfg.tmp_dir:
+        misc.set_tmp_dir(cfg.tmp_dir)
+    if cfg.timeplot:
+        timeplot.init(cfg.timeplot)
+
+    from mlsgpu_tpu.io.splat_set import FileSource
+    from mlsgpu_tpu.pipeline.reconstruct import reconstruct, resume
+
+    start = time.monotonic()
+    stats = get_registry()
+    try:
+        if args.resume:
+            outputs = resume(args.resume, cfg, args.output_file)
+        else:
+            if not args.inputs:
+                print("error: no input files", file=sys.stderr)
+                return 2
+            source = FileSource(args.inputs, smooth=cfg.fit_smooth,
+                                max_radius=cfg.max_radius,
+                                reader_type=args.reader)
+            try:
+                outputs = reconstruct(source, cfg, args.output_file)
+            finally:
+                source.close()
+    except (MlsError, OSError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+    elapsed = time.monotonic() - start
+    stats.variable("run.time").add(elapsed)
+    if cfg.checkpoint:
+        log.info(f"checkpoint written in {elapsed:.1f}s")
+    else:
+        log.info(f"reconstructed {len(outputs)} file(s) in {elapsed:.1f}s")
+    if cfg.statistics or cfg.statistics_file:
+        out = (open(cfg.statistics_file, "w")
+               if cfg.statistics_file else sys.stdout)
+        stats.dump(out)
+        if cfg.statistics_file:
+            out.close()
+    timeplot.init(None)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,124 @@
+"""Configuration schema with the reference's option surface and defaults.
+
+Mirrors the option names/defaults of src/mlsgpu_core.cpp:86-137 plus
+TPU-specific knobs (device caps). Capacity values accept B/K/M/G suffixes like
+the reference's Capacity wrapper (src/options.h:44-120).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+from typing import Optional
+
+from mlsgpu_tpu.utils.errors import InvalidOption
+
+_SUFFIXES = {"B": 1, "K": 1024, "M": 1024 ** 2, "G": 1024 ** 3, "T": 1024 ** 4}
+
+
+def parse_capacity(text) -> int:
+    """Parse '512M'-style sizes (reference Capacity, src/options.h:44-120)."""
+    if isinstance(text, int):
+        return text
+    text = str(text).strip()
+    mult = 1
+    if text and text[-1].upper() in _SUFFIXES:
+        mult = _SUFFIXES[text[-1].upper()]
+        text = text[:-1]
+    try:
+        return int(text) * mult
+    except ValueError as e:
+        raise InvalidOption(f"invalid capacity {text!r}") from e
+
+
+@dataclass
+class ReconstructConfig:
+    # --- fit options (defaults: src/mlsgpu_core.cpp:86-113) ---
+    fit_smooth: float = 4.0          # radius scale factor
+    fit_grid: float = 0.01           # grid spacing (world units)
+    fit_prune: float = 0.02          # min component size as fraction of total vertices
+    fit_boundary_limit: float = 1.0  # gamma: boundary rejection tuning
+    fit_shape: str = "sphere"        # 'sphere' | 'plane'
+    max_radius: float = float("inf")  # --max-radius clamp before smoothing
+
+    # --- grid/block geometry ---
+    levels: int = 6                  # octree levels
+    subsampling: int = 3             # log2 of leaf size in cells
+    leaf_cells: int = 63             # microblock cap for bucketing
+    max_split: int = 2 ** 30         # max subdivisions in one bucketing level
+
+    # --- memory budgets (host, bytes) ---
+    mem_load_splats: int = 256 * 1024 ** 2
+    mem_host_splats: int = 512 * 1024 ** 2
+    mem_bucket_splats: int = 64 * 1024 ** 2
+    mem_mesh: int = 512 * 1024 ** 2
+    mem_reorder: int = 2 * 1024 ** 3
+
+    # --- device caps (TPU static shapes; overflow => retry doubled) ---
+    max_device_splats: int = 1 << 20   # splats resident per block step
+    tile_candidates: int = 512         # K: padded per-tile candidate splats
+    cell_cap: int = 1 << 19            # occupied-cell cap per block
+    vertex_cap: int = 1 << 21          # unwelded vertex cap per block
+    index_cap: int = 3 << 21           # index cap per block
+
+    # --- pipeline ---
+    device_threads: int = 1
+    output_split_size: int = 0       # bytes; 0 = single output file
+    checkpoint: Optional[str] = None
+    resume: Optional[str] = None
+    tmp_dir: Optional[str] = None
+    timeplot: Optional[str] = None
+    statistics: bool = False
+    statistics_file: Optional[str] = None
+    progress: bool = True
+    decache: bool = False
+
+    # --- parallel ---
+    num_devices: int = 0             # 0 = all local devices
+
+    def validate(self) -> None:
+        """Two-stage validation, stage 1 (reference validateOptions,
+        src/mlsgpu_core.cpp:398-457)."""
+        if self.fit_smooth <= 0:
+            raise InvalidOption("fit_smooth must be positive")
+        if self.fit_grid <= 0:
+            raise InvalidOption("fit_grid must be positive")
+        if not (0.0 <= self.fit_prune < 1.0):
+            raise InvalidOption("fit_prune must be in [0, 1)")
+        if not (0.0 < self.fit_boundary_limit):
+            raise InvalidOption("fit_boundary_limit must be positive")
+        if self.fit_shape not in ("sphere", "plane"):
+            raise InvalidOption("fit_shape must be sphere or plane")
+        if self.levels < 1 or self.levels > 10:
+            raise InvalidOption("levels must be in 1..10")
+        if self.subsampling < 3:
+            # The MLS tile is 8^3 corners = one leaf node; leaves must be at
+            # least that big (reference subsamplingMin, src/mls.cpp:53-60).
+            raise InvalidOption("subsampling must be >= 3")
+        if self.subsampling > 16 or self.levels + self.subsampling > 21:
+            raise InvalidOption("levels + subsampling too large")
+        if self.leaf_cells < 1:
+            raise InvalidOption("leaf_cells must be >= 1")
+
+    @property
+    def block_corners(self) -> int:
+        """Corners per axis of a device block: 2^(levels + subsampling - 1)
+        (reference src/mlsgpu_core.cpp:600-603)."""
+        return 1 << (self.levels + self.subsampling - 1)
+
+    @property
+    def block_cells(self) -> int:
+        return self.block_corners - 1
+
+    @property
+    def micro_cells(self) -> int:
+        """Microblock size for bucketing = min(leaf_cells, block_cells)."""
+        return min(self.leaf_cells, self.block_cells)
+
+    @property
+    def boundary_factor(self) -> float:
+        """1 - gamma^2 (reference MlsFunctor::setBoundaryLimit, src/mls.h:164-169)."""
+        g = self.fit_boundary_limit
+        return 1.0 - g * g
+
+    def to_dict(self) -> dict:
+        return asdict(self)

@@ -1,0 +1,93 @@
+"""The fused per-block device step: binning -> MLS field -> marching -> weld.
+
+This is the TPU analogue of the reference's per-bucket device hot loop
+(src/workers.cpp:232-286: SplatTreeCL::enqueueBuild, MlsFunctor,
+Marching::generate, mesh readback) collapsed into one `jax.jit`ted function
+with fully static shapes. One call consumes a padded splat batch for one
+bucket region and produces a welded block mesh plus overflow diagnostics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mlsgpu_tpu.ops import binning, marching, mls, weld
+
+
+class BlockResult(NamedTuple):
+    vertices: jnp.ndarray        # (vertex_cap, 3) f32 block-local grid coords
+    key_hi: jnp.ndarray          # (vertex_cap,) uint32
+    key_lo: jnp.ndarray          # (vertex_cap,) uint32
+    triangles: jnp.ndarray       # (index_cap//3, 3) int32
+    num_vertices: jnp.ndarray    # () welded vertices
+    first_external: jnp.ndarray  # () first external welded vertex
+    num_indices: jnp.ndarray     # () valid indices (3 * triangles)
+    # Overflow diagnostics (host checks against the static caps):
+    max_tile_candidates: jnp.ndarray  # () int32
+    num_cells: jnp.ndarray            # () int32 occupied cells
+    num_unwelded: jnp.ndarray         # () int32 pre-weld vertices
+
+
+def block_step_body(splats: jnp.ndarray,
+                    valid: jnp.ndarray,
+                    region_cells: jnp.ndarray,
+                    cell_origin: jnp.ndarray,
+                    boundary_factor: jnp.ndarray,
+                    *,
+                    levels: int,
+                    subsampling: int,
+                    max_candidates: int,
+                    cell_cap: int,
+                    vertex_cap: int,
+                    index_cap: int,
+                    fit_shape: str = "sphere",
+                    tile_chunk: int = 32) -> BlockResult:
+    """Reconstruct one block (un-jitted body; see block_step).
+
+    Args:
+      splats: (Npad, 8) f32 — block-local cell coords, col 3 = radius (cells).
+      valid: (Npad,) bool.
+      region_cells: (3,) int32 (x,y,z) actual cells in the bucket region.
+      cell_origin: (3,) int32 global cell coords of the block origin.
+      boundary_factor: () f32, 1 - gamma^2.
+    """
+    min_shift = subsampling
+    max_shift = levels + subsampling - 1
+    tiles_per_axis = 1 << (max_shift - 3)  # block corners / 8
+
+    binned = binning.bin_splats(splats, valid, min_shift, max_shift)
+    starts, lens = binning.tile_segments(binned.entry_keys, min_shift,
+                                         max_shift, tiles_per_axis)
+    field, max_total = mls.eval_field(
+        binned.entry_data, starts, lens, tiles_per_axis, max_candidates,
+        fit_shape, boundary_factor, tile_chunk=tile_chunk)
+
+    mesh = marching.generate(field, region_cells, cell_origin,
+                             cell_cap, vertex_cap, index_cap)
+    welded = weld.weld(mesh.vertices, mesh.key_hi, mesh.key_lo,
+                       mesh.triangles, mesh.num_vertices, mesh.num_indices)
+
+    return BlockResult(
+        vertices=welded.vertices,
+        key_hi=welded.key_hi,
+        key_lo=welded.key_lo,
+        triangles=welded.triangles,
+        num_vertices=welded.num_vertices,
+        first_external=welded.first_external,
+        num_indices=welded.num_indices,
+        max_tile_candidates=max_total,
+        num_cells=mesh.num_cells,
+        num_unwelded=mesh.num_vertices,
+    )
+
+
+block_step = functools.partial(
+    jax.jit,
+    static_argnames=("levels", "subsampling", "max_candidates", "cell_cap",
+                     "vertex_cap", "index_cap", "fit_shape", "tile_chunk"),
+)(block_step_body)
+block_step.__doc__ = "Jitted block_step_body (one compile per static config)."

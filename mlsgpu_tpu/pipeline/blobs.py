@@ -1,0 +1,163 @@
+"""Blob precomputation: one streaming pass over the input computing the
+bounding box and 'blobs' — runs of consecutive splats sharing the same
+microblock range.
+
+Re-creation of FastBlobSet::computeBlobs (src/splat_set.h:653-903,
+src/splat_set_impl.h:669-726): blobs compress the spatial index ~10-100x for
+scanner data (consecutive points are spatially coherent), letting bucketing
+work on blob ranges instead of individual splats, and letting the loader
+re-read only the ranges a bucket needs. Microblock coordinates are absolute
+(relative to the world origin, the reference's fast-path precondition,
+src/splat_set.h:888-893) so they remain valid for any grid extents derived
+later.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+from mlsgpu_tpu.core.grid import Grid
+from mlsgpu_tpu.io.splat_set import SplatSource
+from mlsgpu_tpu.utils import logging as log
+from mlsgpu_tpu.utils.statistics import get_registry
+
+
+@dataclass
+class BlobArray:
+    """Struct-of-arrays blob store. Ranges are [start, start+count) global
+    splat ids; lo/hi are inclusive microblock coords (absolute, may be
+    negative)."""
+    start: np.ndarray   # (B,) int64
+    count: np.ndarray   # (B,) int64
+    lo: np.ndarray      # (B, 3) int64
+    hi: np.ndarray      # (B, 3) int64
+
+    def __len__(self) -> int:
+        return len(self.start)
+
+    @property
+    def num_splats(self) -> int:
+        return int(self.start[-1] + self.count[-1]) if len(self.start) else 0
+
+
+@dataclass
+class BlobInfo:
+    blobs: BlobArray
+    grid: Grid                    # extents cover all influenced corners
+    micro_lo: np.ndarray          # (3,) int64: microblock coord of grid cell 0
+    micro_dims: np.ndarray        # (3,) int64: microblock grid size
+    num_splats: int
+    num_nonfinite: int
+
+
+def _splat_cell_bounds(chunk: np.ndarray, inv_spacing: np.float32
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-splat [lo, hi] inclusive absolute cell range of pos +- r, using the
+    same float32 expression as SplatArray.to_grid_frame so the range is
+    consistent with what the device block step will see."""
+    pos = chunk[:, 0:3]
+    r = chunk[:, 3][:, None]
+    finite = np.isfinite(chunk).all(axis=1) & (chunk[:, 3] > 0)
+    with np.errstate(invalid="ignore"):
+        lo = np.floor(np.nan_to_num((pos - r) * inv_spacing)).astype(np.int64)
+        hi = np.floor(np.nan_to_num((pos + r) * inv_spacing)).astype(np.int64)
+    return lo, hi, finite
+
+
+def compute_blobs(source: SplatSource, spacing: float, micro_cells: int,
+                  progress=None) -> BlobInfo:
+    """Single streaming pass: bbox + blob runs (the reference's pass 0,
+    src/mlsgpu_core.cpp:587-615)."""
+    inv_spacing = np.float32(1.0) / np.float32(spacing)
+    stats = get_registry()
+
+    starts, counts, los, his = [], [], [], []
+    cur_lo = cur_hi = None  # current run's microblock range
+    cur_start = 0
+    cur_count = 0
+    cell_min = np.full(3, np.iinfo(np.int64).max)
+    cell_max = np.full(3, np.iinfo(np.int64).min)
+    num_nonfinite = 0
+    total = 0
+
+    def close_run():
+        nonlocal cur_lo
+        if cur_lo is not None:
+            starts.append(cur_start)
+            counts.append(cur_count)
+            los.append(cur_lo)
+            his.append(cur_hi)
+            cur_lo = None
+
+    with stats.timer("blobs.time"):
+        for first_id, chunk in source.iter_chunks():
+            if not len(chunk):
+                continue
+            total += len(chunk)
+            lo_c, hi_c, finite = _splat_cell_bounds(chunk, inv_spacing)
+            num_nonfinite += int(len(chunk) - finite.sum())
+            mlo = np.floor_divide(lo_c, micro_cells)
+            mhi = np.floor_divide(hi_c, micro_cells)
+
+            fin_idx = np.nonzero(finite)[0]
+            if len(fin_idx):
+                cell_min = np.minimum(cell_min, lo_c[fin_idx].min(axis=0))
+                cell_max = np.maximum(cell_max, hi_c[fin_idx].max(axis=0))
+
+            # Run-length encode: a run continues while the microblock range
+            # is unchanged and splats are finite. Non-finite splats break
+            # runs and belong to no blob (they are skipped at load time too).
+            rng6 = np.concatenate([mlo, mhi], axis=1)
+            same = np.zeros(len(chunk), dtype=bool)
+            if len(chunk) > 1:
+                same[1:] = ((rng6[1:] == rng6[:-1]).all(axis=1)
+                            & finite[1:] & finite[:-1])
+            if cur_lo is not None and finite[0] \
+                    and np.array_equal(rng6[0], np.concatenate([cur_lo, cur_hi])):
+                same[0] = True
+
+            run_starts = np.nonzero(~same)[0]
+            lead = int(run_starts[0]) if len(run_starts) else len(chunk)
+            if cur_lo is not None:
+                cur_count += lead  # carried run extends into this chunk
+            for i, rs in enumerate(run_starts):
+                re = int(run_starts[i + 1]) if i + 1 < len(run_starts) else len(chunk)
+                close_run()
+                if finite[rs]:
+                    cur_start = first_id + int(rs)
+                    cur_count = re - int(rs)
+                    cur_lo, cur_hi = mlo[rs], mhi[rs]
+            if progress is not None:
+                progress += len(chunk)
+    close_run()
+
+    if not starts:
+        raise ValueError("no finite splats in input")
+
+    blobs = BlobArray(
+        start=np.asarray(starts, dtype=np.int64),
+        count=np.asarray(counts, dtype=np.int64),
+        lo=np.asarray(los, dtype=np.int64).reshape(-1, 3),
+        hi=np.asarray(his, dtype=np.int64).reshape(-1, 3),
+    )
+
+    # Grid extents: corners influenced span [cell_min, cell_max + 1]
+    # inclusive -> cells [cell_min, cell_max + 1).
+    extents = tuple((int(cell_min[a]), int(cell_max[a]) + 1) for a in range(3))
+    grid = Grid.make((0.0, 0.0, 0.0), spacing, extents)
+
+    micro_lo = blobs.lo.min(axis=0)
+    micro_hi = blobs.hi.max(axis=0)
+    micro_dims = micro_hi - micro_lo + 1
+
+    stats.counter("blobs.numBlobs").add(len(blobs))
+    stats.counter("blobs.numSplats").add(total)
+    log.info(f"blobs: {len(blobs)} blobs over {total} splats "
+             f"({total / max(len(blobs), 1):.1f} splats/blob), "
+             f"grid cells {grid.shape_cells}")
+    return BlobInfo(blobs=blobs, grid=grid, micro_lo=micro_lo,
+                    micro_dims=micro_dims, num_splats=total,
+                    num_nonfinite=num_nonfinite)

@@ -1,0 +1,201 @@
+"""Spatial decomposition of the grid into device-sized buckets.
+
+Re-creation of the reference's out-of-core bucketing (src/bucket.{h,cpp},
+src/bucket_impl.h:111-580): the grid is partitioned into microblocks; an
+implicit octree of per-region splat counts drives a recursive descent that
+emits the largest aligned regions satisfying both the cell budget (device
+block size) and the splat budget. Counts come from the blob ranges, so no
+second pass over the input is needed.
+
+Differences from the reference, chosen for the TPU pipeline:
+- counts live in a dense microblock grid (numpy) instead of a hashed sparse
+  octree — trivially vectorized, and even a 2^20-cell extent is only a
+  ~256^3 microblock grid at the default 63-cell microblock;
+- regions are power-of-two octree nodes (the reference additionally merges
+  sibling runs; octree nodes are a correct, simpler choice — padding is
+  cheap on TPU because block shapes are static anyway);
+- a splat spanning multiple microblocks is counted in each (the reference
+  counts it once per intersecting region as well: both are the conservative
+  'splats intersecting the region' measure, src/bucket.h:144-178).
+
+Output-chunk assignment (ChunkId) follows the reference's generation counter
+(src/bucket_collector.h:48-84).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from mlsgpu_tpu.core.chunk import ChunkId
+from mlsgpu_tpu.pipeline.blobs import BlobArray, BlobInfo
+from mlsgpu_tpu.utils import logging as log
+from mlsgpu_tpu.utils.errors import DensityError
+from mlsgpu_tpu.utils.misc import div_up
+from mlsgpu_tpu.utils.statistics import get_registry
+
+MAX_MICRO_GRID = 512  # dense microblock-count grid guard, per axis
+
+
+@dataclass
+class Bucket:
+    """A unit of device work: a cell region plus the blob ranges overlapping
+    it (the reference's BucketCollector::Bin)."""
+    chunk_id: ChunkId
+    cell_lo: np.ndarray        # (3,) int64 grid-local cell coords (x, y, z)
+    cell_hi: np.ndarray        # (3,) int64 exclusive
+    blob_ids: np.ndarray       # (K,) int64 indices into BlobArray
+    num_splats: int            # conservative count (intersecting splats)
+
+    @property
+    def cells(self) -> np.ndarray:
+        return self.cell_hi - self.cell_lo
+
+
+def microblock_counts(blobs: BlobArray, micro_lo: np.ndarray,
+                      micro_dims: np.ndarray) -> np.ndarray:
+    """Dense (mx, my, mz) grid of conservative per-microblock splat counts."""
+    dims = tuple(int(d) for d in micro_dims)
+    if max(dims) > MAX_MICRO_GRID:
+        raise NotImplementedError(
+            f"microblock grid {dims} exceeds {MAX_MICRO_GRID}^3; "
+            "increase leaf_cells or grid spacing")
+    counts = np.zeros(dims, dtype=np.int64)
+    lo = blobs.lo - micro_lo
+    hi = blobs.hi - micro_lo
+    span = hi - lo
+    single = (span == 0).all(axis=1)
+
+    # Fast path: blobs covering one microblock (the overwhelming majority).
+    if single.any():
+        l = lo[single]
+        flat = (l[:, 0] * dims[1] + l[:, 1]) * dims[2] + l[:, 2]
+        np.add.at(counts.reshape(-1), flat, blobs.count[single])
+    # Slow path: scatter into each covered microblock.
+    for i in np.nonzero(~single)[0]:
+        l, h = lo[i], hi[i]
+        counts[l[0]:h[0] + 1, l[1]:h[1] + 1, l[2]:h[2] + 1] += blobs.count[i]
+    return counts
+
+
+def _node_count(summed: np.ndarray, lo: np.ndarray, size: int) -> int:
+    """Region-sum via 3D summed-area table (inclusive prefix sums)."""
+    dims = summed.shape
+    hi = np.minimum(lo + size, dims)  # exclusive, clipped
+    l = np.maximum(lo, 0)
+
+    def s(x, y, z):
+        if x < 1 or y < 1 or z < 1:
+            return 0
+        return int(summed[x - 1, y - 1, z - 1])
+
+    x0, y0, z0 = int(l[0]), int(l[1]), int(l[2])
+    x1, y1, z1 = int(hi[0]), int(hi[1]), int(hi[2])
+    return (s(x1, y1, z1) - s(x0, y1, z1) - s(x1, y0, z1) - s(x1, y1, z0)
+            + s(x0, y0, z1) + s(x0, y1, z0) + s(x1, y0, z0) - s(x0, y0, z0))
+
+
+def bucket_regions(counts: np.ndarray, micro_cells: int, grid_cells: np.ndarray,
+                   max_cells: int, max_splats: int) -> List[Tuple[np.ndarray, int]]:
+    """Recursive octree descent over the microblock grid. Returns a list of
+    (micro_lo (3,), micro_size) aligned regions satisfying both budgets.
+
+    Raises DensityError when a single microblock exceeds max_splats
+    (reference src/bucket.h:53-64)."""
+    dims = np.asarray(counts.shape, dtype=np.int64)
+    summed = counts.cumsum(0).cumsum(1).cumsum(2)
+    root_size = 1 << int(np.ceil(np.log2(max(int(dims.max()), 1))))
+    max_micro = max(max_cells // micro_cells, 1)
+
+    out: List[Tuple[np.ndarray, int]] = []
+
+    def descend(lo: np.ndarray, size: int) -> None:
+        if (lo >= dims).any():
+            return
+        n = _node_count(summed, lo, size)
+        if n == 0:
+            return
+        if size * micro_cells <= max_cells and n <= max_splats:
+            out.append((lo.copy(), size))
+            return
+        if size == 1:
+            raise DensityError(
+                f"microblock at {lo} has {n} splats > budget {max_splats}", n)
+        half = size // 2
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    descend(lo + np.array([dx, dy, dz]) * half, half)
+
+    descend(np.zeros(3, dtype=np.int64), root_size)
+    return out
+
+
+def assign_blobs(blobs: BlobArray, micro_lo: np.ndarray,
+                 regions: List[Tuple[np.ndarray, int]]) -> List[np.ndarray]:
+    """Blob ids overlapping each region. Vectorized interval intersection per
+    region (the reference walks blob streams per region recursion instead;
+    for morton-coherent scan data both are near-linear)."""
+    lo = blobs.lo - micro_lo  # (B, 3)
+    hi = blobs.hi - micro_lo
+    out = []
+    for rlo, size in regions:
+        rhi = rlo + size  # exclusive
+        sel = ((hi >= rlo) & (lo < rhi)).all(axis=1)
+        out.append(np.nonzero(sel)[0].astype(np.int64))
+    return out
+
+
+def make_buckets(info: BlobInfo, block_cells: int, micro_cells: int,
+                 max_splats: int,
+                 chunk_cells: Optional[int] = None) -> List[Bucket]:
+    """Full bucketing driver: counts -> regions -> blob assignment -> Buckets
+    (the doBucket + BucketCollector path, src/mlsgpu_core.cpp:656-678).
+
+    chunk_cells groups buckets into output chunks (--split-size heuristic,
+    src/mlsgpu_core.cpp:632-653); None = single output chunk. External-vertex
+    deduplication happens per chunk, so all buckets of one chunk must share
+    one ChunkId (the reference's BucketCollector generation assignment)."""
+    stats = get_registry()
+    with stats.timer("bucket.time"):
+        counts = microblock_counts(info.blobs, info.micro_lo, info.micro_dims)
+        grid_cells = np.asarray(info.grid.shape_cells, dtype=np.int64)
+        regions = bucket_regions(counts, micro_cells, grid_cells,
+                                 block_cells, max_splats)
+        blob_lists = assign_blobs(info.blobs, info.micro_lo, regions)
+
+    # Grid-local cell coordinates: microblock (0,0,0) sits at absolute cell
+    # micro_lo * micro_cells; the grid's cell 0 is extent lo.
+    ext_lo = np.array([e[0] for e in info.grid.extents], dtype=np.int64)
+    micro_origin = info.micro_lo * micro_cells - ext_lo  # grid-local cells
+
+    buckets: List[Bucket] = []
+    chunk_ids: dict = {}
+    for (rlo, size), bids in zip(regions, blob_lists):
+        if not len(bids):
+            continue
+        cell_lo = micro_origin + rlo * micro_cells
+        cell_hi = np.minimum(cell_lo + size * micro_cells, grid_cells)
+        cell_lo_cl = np.maximum(cell_lo, 0)
+        if (cell_hi <= cell_lo_cl).any():
+            continue
+        n = int(info.blobs.count[bids].sum())
+        if chunk_cells is None:
+            coords = (0, 0, 0)
+        else:
+            coords = tuple(int(c) for c in cell_lo_cl // chunk_cells)
+        cid = chunk_ids.get(coords)
+        if cid is None:
+            cid = ChunkId(gen=len(chunk_ids), coords=coords)
+            chunk_ids[coords] = cid
+        buckets.append(Bucket(
+            chunk_id=cid,
+            cell_lo=cell_lo_cl, cell_hi=cell_hi,
+            blob_ids=bids, num_splats=n))
+
+    stats.counter("bucket.count").add(len(buckets))
+    log.info(f"bucketing: {len(buckets)} buckets "
+             f"(max splats/bucket: {max((b.num_splats for b in buckets), default=0)})")
+    return buckets

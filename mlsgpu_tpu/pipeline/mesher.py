@@ -1,0 +1,363 @@
+"""Out-of-core mesher: welds block meshes into final PLY output.
+
+Re-creation of the reference's OOCMesher (src/mesher.{h,cpp}, design doc at
+src/mesher.h:322-352):
+
+- per block, a union-find over the triangles yields local components
+  ("clumps"); each becomes a global clump node;
+- external vertex keys (block-boundary edge ids) merge clumps across blocks
+  and deduplicate boundary vertices within an output chunk;
+- vertices/triangles (with their clump ids) are spilled to append-only temp
+  files so host memory stays bounded;
+- write() computes the prune threshold from global component sizes
+  (--fit-prune, src/mesher.cpp:491-538), then streams each chunk back,
+  drops pruned components, compacts indices, and writes the PLY(s);
+- checkpoint()/resume() persist the mesher state + temp files so the final
+  write can be re-run in a separate invocation (src/mesher.cpp:854-947).
+
+Keys are 63-bit ints (hi << 32 | lo with the external flag stripped), chunk
+ids order the output (reference ChunkId generations).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from mlsgpu_tpu.core.chunk import ChunkId
+from mlsgpu_tpu.core.grid import Grid
+from mlsgpu_tpu.io.ply import PlyWriter
+from mlsgpu_tpu.utils import logging as log
+from mlsgpu_tpu.utils.errors import StateError
+from mlsgpu_tpu.utils.misc import create_tmp_file
+from mlsgpu_tpu.utils.statistics import get_registry
+from mlsgpu_tpu.utils.union_find import UnionFind
+
+
+@dataclass
+class BlockInput:
+    """One welded block mesh, in *global grid* coordinates."""
+    chunk_id: ChunkId
+    vertices: np.ndarray       # (n, 3) f32 global grid coords
+    first_external: int        # vertices[first_external:] have keys
+    ext_keys: np.ndarray       # (n - first_external,) int64 (63-bit, flag stripped)
+    triangles: np.ndarray      # (m, 3) int32/int64 into vertices
+
+
+class _ClumpSet(UnionFind):
+    """Union-find over global clumps carrying vertex/triangle totals."""
+
+    def __init__(self):
+        super().__init__(0)
+        self.num_vertices = np.zeros(0, dtype=np.int64)
+        self.num_triangles = np.zeros(0, dtype=np.int64)
+
+    def add_clumps(self, count: int) -> int:
+        start = super().add(count)
+        self.num_vertices = np.concatenate(
+            [self.num_vertices, np.zeros(count, np.int64)])
+        self.num_triangles = np.concatenate(
+            [self.num_triangles, np.zeros(count, np.int64)])
+        return start
+
+    def on_merge(self, root: int, child: int) -> None:
+        self.num_vertices[root] += self.num_vertices[child]
+        self.num_triangles[root] += self.num_triangles[child]
+
+
+@dataclass
+class _ChunkRecord:
+    chunk_id: ChunkId
+    key_index: Dict[int, int] = field(default_factory=dict)
+    num_vertices: int = 0
+    num_triangles: int = 0
+    # byte offsets of this chunk's segments in the spill files
+    vert_segments: List[tuple] = field(default_factory=list)  # (off, count)
+    tri_segments: List[tuple] = field(default_factory=list)
+
+
+class OOCMesher:
+    """Single-pass collector (MesherBase::numPasses == 1 for OOCMesher)."""
+
+    VREC = 3 * 4 + 4          # vertex record: xyz f32 + clump int32
+    TREC = 3 * 4 + 4          # triangle record: abc int32 + clump int32
+
+    def __init__(self, grid: Grid, prune: float = 0.0):
+        self.grid = grid
+        self.prune = prune
+        self.clumps = _ClumpSet()
+        self.key_clump: Dict[int, int] = {}
+        self.chunks: Dict[ChunkId, _ChunkRecord] = {}
+        self._vert_path = create_tmp_file("mlsgpu_tpu.verts.")
+        self._tri_path = create_tmp_file("mlsgpu_tpu.tris.")
+        self._vert_file = open(self._vert_path, "wb")
+        self._tri_file = open(self._tri_path, "wb")
+        self._finalized = False
+        self._stats = get_registry()
+
+    # ------------------------------------------------------------------ add
+    def add(self, block: BlockInput) -> None:
+        """Consume one block (the reference's OOCMesher::add,
+        src/mesher.cpp:447-468)."""
+        if self._finalized:
+            raise StateError("mesher already finalized")
+        verts = np.asarray(block.vertices, dtype=np.float32)
+        tris = np.asarray(block.triangles, dtype=np.int64)
+        n = len(verts)
+        first_ext = block.first_external
+        keys = np.asarray(block.ext_keys, dtype=np.int64)
+        assert len(keys) == n - first_ext
+        if n == 0:
+            return
+
+        # 1. Local components over the block's triangles
+        # (computeLocalComponents, src/mesher.cpp:220).
+        local = UnionFind(n)
+        if len(tris):
+            local.merge_pairs(np.concatenate([tris[:, 0], tris[:, 0]]),
+                              np.concatenate([tris[:, 1], tris[:, 2]]))
+        roots = local.roots()
+        uroots, local_label = np.unique(roots, return_inverse=True)
+        num_local = len(uroots)
+
+        # 2. A global clump per local component (updateGlobalClumps).
+        base = self.clumps.add_clumps(num_local)
+        vert_clump = (base + local_label).astype(np.int64)
+        np.add.at(self.clumps.num_vertices, vert_clump, 1)
+        tri_clump = vert_clump[tris[:, 0]] if len(tris) else np.zeros(0, np.int64)
+        np.add.at(self.clumps.num_triangles, tri_clump, 1)
+
+        # 3. Merge clumps across blocks via shared external keys
+        # (updateClumpKeyMap, src/mesher.cpp:280).
+        for i, key in enumerate(keys):
+            k = int(key)
+            cid = int(vert_clump[first_ext + i])
+            prev = self.key_clump.setdefault(k, cid)
+            if prev != cid:
+                self.clumps.merge(prev, cid)
+
+        # 4. Spill vertices/triangles, deduplicating externals within the
+        # output chunk (updateLocalClumps / reorder buffer).
+        rec = self.chunks.get(block.chunk_id)
+        if rec is None:
+            rec = self.chunks[block.chunk_id] = _ChunkRecord(block.chunk_id)
+
+        # Which vertices get written: all internals + unseen-key externals.
+        write_mask = np.ones(n, dtype=bool)
+        remap = np.empty(n, dtype=np.int64)
+        ext_existing_idx = np.empty(n - first_ext, dtype=np.int64)
+        new_flags = np.zeros(n - first_ext, dtype=bool)
+        ki = rec.key_index
+        for i, key in enumerate(keys):
+            k = int(key)
+            idx = ki.get(k, -1)
+            if idx < 0:
+                new_flags[i] = True
+            else:
+                ext_existing_idx[i] = idx
+        write_mask[first_ext:] = new_flags
+
+        n_new = int(write_mask.sum())
+        new_ids = rec.num_vertices + np.arange(n_new, dtype=np.int64)
+        remap[write_mask] = new_ids
+        remap[~write_mask] = 0  # placeholder, fixed below
+        not_new = np.nonzero(~new_flags)[0]
+        remap[first_ext + not_new] = ext_existing_idx[not_new]
+        # register newly-written external keys
+        for i in np.nonzero(new_flags)[0]:
+            ki[int(keys[i])] = int(remap[first_ext + i])
+
+        # vertex records: xyz float32 bits + clump id in a uint32 lane
+        vrec_bytes = np.empty((n_new, 4), dtype=np.uint32)
+        vrec_bytes[:, 0:3] = verts[write_mask].view(np.uint32)
+        vrec_bytes[:, 3] = vert_clump[write_mask].astype(np.uint32)
+        off = self._vert_file.tell()
+        self._vert_file.write(vrec_bytes.tobytes())
+        rec.vert_segments.append((off, n_new))
+        rec.num_vertices += n_new
+
+        # triangle records (chunk-local indices)
+        m = len(tris)
+        if m:
+            trec = np.empty((m, 4), dtype=np.uint32)
+            trec[:, 0:3] = remap[tris].astype(np.uint32)
+            trec[:, 3] = tri_clump.astype(np.uint32)
+            toff = self._tri_file.tell()
+            self._tri_file.write(trec.tobytes())
+            rec.tri_segments.append((toff, m))
+            rec.num_triangles += m
+
+        self._stats.counter("mesher.blocks").add(1)
+        self._stats.counter("mesher.vertices").add(n_new)
+        self._stats.counter("mesher.triangles").add(m)
+
+    # ---------------------------------------------------------------- write
+    def _finalize(self) -> None:
+        if not self._finalized:
+            self._vert_file.flush()
+            self._tri_file.flush()
+            self._vert_file.close()
+            self._tri_file.close()
+            self._finalized = True
+
+    def _pruned_roots(self) -> set:
+        roots = self.clumps.roots()
+        if len(roots) == 0:
+            return set()
+        uroot = np.unique(roots)
+        total = int(self.clumps.num_vertices[uroot].sum())
+        threshold = self.prune * total
+        return {int(r) for r in uroot
+                if self.clumps.num_vertices[r] < threshold}
+
+    def write(self, path: str, writer_factory=None, comments=None,
+              split_size: int = 0, progress=None) -> List[str]:
+        """Final output pass (src/mesher.cpp:763-852). One PLY per chunk when
+        there are multiple chunks (--split), else a single file."""
+        self._finalize()
+        writer_factory = writer_factory or (lambda: PlyWriter(comments=comments))
+        pruned = self._pruned_roots()
+        chunk_ids = sorted(self.chunks.keys())
+        multi = len(chunk_ids) > 1 and split_size != 0
+
+        vfile = open(self._vert_path, "rb")
+        tfile = open(self._tri_path, "rb")
+        outputs: List[str] = []
+        try:
+            if multi:
+                for cid in chunk_ids:
+                    cpath = self._chunk_path(path, cid)
+                    self._write_chunk(cpath, [self.chunks[cid]],
+                                      vfile, tfile, pruned, writer_factory,
+                                      comments, progress)
+                    outputs.append(cpath)
+            else:
+                self._write_chunk(path, [self.chunks[c] for c in chunk_ids],
+                                  vfile, tfile, pruned, writer_factory,
+                                  comments, progress)
+                outputs.append(path)
+        finally:
+            vfile.close()
+            tfile.close()
+        return outputs
+
+    @staticmethod
+    def _chunk_path(path: str, cid: ChunkId) -> str:
+        base, ext = os.path.splitext(path)
+        x, y, z = cid.coords
+        return f"{base}_{x:04d}_{y:04d}_{z:04d}{ext}"
+
+    def _load_chunk(self, rec: _ChunkRecord, vfile, tfile):
+        verts = np.empty((rec.num_vertices, 3), np.float32)
+        vclump = np.empty(rec.num_vertices, np.int64)
+        pos = 0
+        for off, count in rec.vert_segments:
+            vfile.seek(off)
+            raw = np.frombuffer(vfile.read(count * self.VREC),
+                                dtype=np.uint32).reshape(count, 4)
+            verts[pos:pos + count] = raw[:, 0:3].view(np.float32)
+            vclump[pos:pos + count] = raw[:, 3]
+            pos += count
+        tris = np.empty((rec.num_triangles, 3), np.int64)
+        tclump = np.empty(rec.num_triangles, np.int64)
+        pos = 0
+        for off, count in rec.tri_segments:
+            tfile.seek(off)
+            raw = np.frombuffer(tfile.read(count * self.TREC),
+                                dtype=np.uint32).reshape(count, 4)
+            tris[pos:pos + count] = raw[:, 0:3]
+            tclump[pos:pos + count] = raw[:, 3]
+            pos += count
+        return verts, vclump, tris, tclump
+
+    def _write_chunk(self, path, recs, vfile, tfile, pruned,
+                     writer_factory, comments, progress) -> None:
+        # Concatenate chunk records (single-output mode merges all chunks;
+        # indices are per-record so they need rebasing).
+        all_v, all_t = [], []
+        vbase = 0
+        for rec in recs:
+            verts, vclump, tris, tclump = self._load_chunk(rec, vfile, tfile)
+            vroot = self.clumps.find_many(vclump)
+            keep_v = ~np.isin(vroot, list(pruned)) if pruned else np.ones(len(verts), bool)
+            troot = self.clumps.find_many(tclump)
+            keep_t = ~np.isin(troot, list(pruned)) if pruned else np.ones(len(tris), bool)
+            remap = np.cumsum(keep_v) - 1
+            all_v.append(verts[keep_v])
+            all_t.append(remap[tris[keep_t]] + vbase)
+            vbase += int(keep_v.sum())
+        verts = np.concatenate(all_v) if all_v else np.empty((0, 3), np.float32)
+        tris = np.concatenate(all_t) if all_t else np.empty((0, 3), np.int64)
+
+        # grid -> world transform (the reference's device-side ScaleBiasFilter,
+        # kernels/scale_bias.cl:33-45, applied host-side here).
+        ext_lo = np.array([e[0] for e in self.grid.extents], np.float32)
+        world = ((verts + ext_lo) * np.float32(self.grid.spacing)
+                 + np.asarray(self.grid.reference, np.float32))
+
+        writer = writer_factory()
+        writer.set_num_vertices(len(world))
+        writer.set_num_triangles(len(tris))
+        writer.open(path)
+        writer.write_vertices(0, world)
+        writer.write_triangles(0, tris)
+        writer.close()
+        if progress is not None:
+            progress += len(tris)
+        log.info(f"wrote {path}: {len(world)} vertices, {len(tris)} triangles")
+
+    # ----------------------------------------------------- checkpoint/resume
+    def checkpoint(self, path: str) -> None:
+        """Persist collector state for a later write-only run
+        (--checkpoint, src/mesher.cpp:854-874)."""
+        self._finalize()
+        state = {
+            "grid": self.grid,
+            "prune": self.prune,
+            "clump_parent": self.clumps.parent,
+            "clump_size": self.clumps.size,
+            "clump_nv": self.clumps.num_vertices,
+            "clump_nt": self.clumps.num_triangles,
+            "key_clump": self.key_clump,
+            "chunks": self.chunks,
+            "vert_path": self._vert_path,
+            "tri_path": self._tri_path,
+        }
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+
+    @classmethod
+    def resume(cls, path: str) -> "OOCMesher":
+        """Reload a checkpoint (--resume, src/mesher.cpp:876-947)."""
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        mesher = cls.__new__(cls)
+        mesher.grid = state["grid"]
+        mesher.prune = state["prune"]
+        mesher.clumps = _ClumpSet()
+        mesher.clumps.parent = state["clump_parent"]
+        mesher.clumps.size = state["clump_size"]
+        mesher.clumps.num_vertices = state["clump_nv"]
+        mesher.clumps.num_triangles = state["clump_nt"]
+        mesher.key_clump = state["key_clump"]
+        mesher.chunks = state["chunks"]
+        mesher._vert_path = state["vert_path"]
+        mesher._tri_path = state["tri_path"]
+        mesher._vert_file = None
+        mesher._tri_file = None
+        mesher._finalized = True
+        mesher._stats = get_registry()
+        return mesher
+
+    def cleanup(self) -> None:
+        """Remove temp spill files."""
+        self._finalize()
+        for p in (self._vert_path, self._tri_path):
+            try:
+                os.remove(p)
+            except OSError:
+                pass

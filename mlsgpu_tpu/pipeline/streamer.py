@@ -1,0 +1,154 @@
+"""Streaming block executor: overlaps disk loading, host prep, device
+compute, and mesher consumption.
+
+This is the TPU-native replacement for the reference's thread pipeline
+(BucketLoader -> CopyGroup -> DeviceWorkerGroup, src/workers.*,
+src/worker_group.h): a loader thread reads each bucket's blob ranges and
+builds padded device inputs behind a bounded queue (backpressure ==
+CircularBuffer); the main thread dispatches the jitted block step — JAX's
+async dispatch plays the role of the in-flight command queues (P2) — and
+keeps a small window of blocks in flight before forcing results. Multiple
+local devices are fed round-robin (the reference's P3 multi-GPU
+load-balancing, src/workers.cpp:315-351).
+
+Cap overflows are detected at consumption time and the block is re-run with
+doubled caps (rare; one extra compile thanks to the persistent cache).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from collections import deque
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from mlsgpu_tpu.io.splat_set import SplatSource, merge_ranges
+from mlsgpu_tpu.ops.block import BlockResult, block_step
+from mlsgpu_tpu.utils import logging as log
+from mlsgpu_tpu.utils import timeplot
+from mlsgpu_tpu.utils.misc import next_pow2
+from mlsgpu_tpu.utils.statistics import get_registry
+
+_SENTINEL = object()
+
+
+def _pick_devices(num: int) -> List:
+    devs = jax.local_devices()
+    if num > 0:
+        devs = devs[:num]
+    return devs
+
+
+def _dispatch(padded, valid, bucket, cfg, caps, device) -> BlockResult:
+    args = dict(
+        splats=jax.device_put(padded, device),
+        valid=jax.device_put(valid, device),
+        region_cells=jax.device_put(
+            np.asarray(bucket.cell_hi - bucket.cell_lo, np.int32), device),
+        cell_origin=jax.device_put(
+            np.asarray(bucket.cell_lo, np.int32), device),
+        boundary_factor=jax.device_put(
+            np.float32(cfg.boundary_factor), device),
+    )
+    return block_step(
+        **args,
+        levels=cfg.levels, subsampling=cfg.subsampling,
+        max_candidates=caps.max_candidates,
+        cell_cap=caps.cell_cap, vertex_cap=caps.vertex_cap,
+        index_cap=caps.index_cap, fit_shape=cfg.fit_shape)
+
+
+def _check_overflow(result: BlockResult, caps) -> bool:
+    """Grow caps if the block overflowed; returns True when a retry is
+    needed (forces the diagnostic scalars — the sync point)."""
+    retry = False
+    mt = int(result.max_tile_candidates)
+    if mt > caps.max_candidates:
+        caps.max_candidates = next_pow2(mt)
+        retry = True
+    nc = int(result.num_cells)
+    if nc > caps.cell_cap:
+        caps.cell_cap = next_pow2(nc)
+        retry = True
+    nuw = int(result.num_unwelded)
+    if nuw > caps.vertex_cap:
+        caps.vertex_cap = next_pow2(nuw)
+        retry = True
+    ni = int(result.num_indices)
+    if ni > caps.index_cap:
+        caps.index_cap = 3 * next_pow2(ni // 3 + 1)
+        retry = True
+    return retry
+
+
+def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
+                  devices: Optional[List] = None, window: int = 2
+                  ) -> Iterator[Tuple[object, BlockResult]]:
+    """Yield (bucket, forced BlockResult) for every bucket, pipelined."""
+    stats = get_registry()
+    devices = devices if devices is not None else _pick_devices(cfg.num_devices)
+    window = max(window, len(devices))
+    load_q: "queue.Queue" = queue.Queue(maxsize=window + 1)
+    blob_start = info.blobs.start
+    blob_count = info.blobs.count
+    grid = info.grid
+    error: List[BaseException] = []
+
+    def loader():
+        worker = timeplot.Worker("loader")
+        try:
+            from mlsgpu_tpu.pipeline.reconstruct import prepare_block_inputs
+            for b in buckets:
+                with timeplot.Action("load", worker,
+                                     stats.variable("loader.time")):
+                    ranges = merge_ranges(
+                        (int(blob_start[i]), int(blob_start[i] + blob_count[i]))
+                        for i in b.blob_ids)
+                    splats = source.read_ranges(ranges)
+                    padded, valid = prepare_block_inputs(splats, b, grid)
+                load_q.put((b, padded, valid))
+        except BaseException as e:  # propagate to consumer
+            error.append(e)
+        finally:
+            load_q.put(_SENTINEL)
+
+    thread = threading.Thread(target=loader, name="loader", daemon=True)
+    thread.start()
+
+    inflight: deque = deque()
+    dev_idx = 0
+    compute_worker = timeplot.Worker("device")
+
+    def force(entry):
+        b, padded, valid, result, device = entry
+        with timeplot.Action("compute", compute_worker,
+                             stats.variable("device.time")):
+            while _check_overflow(result, caps):
+                stats.counter("device.capRetries").add(1)
+                log.info(f"block {b.chunk_id.gen}: cap overflow, retrying "
+                         f"(K={caps.max_candidates}, cells={caps.cell_cap}, "
+                         f"verts={caps.vertex_cap}, inds={caps.index_cap})")
+                result = _dispatch(padded, valid, b, cfg, caps, device)
+        return b, result
+
+    try:
+        while True:
+            item = load_q.get()
+            if item is _SENTINEL:
+                break
+            b, padded, valid = item
+            device = devices[dev_idx % len(devices)]
+            dev_idx += 1
+            result = _dispatch(padded, valid, b, cfg, caps, device)
+            inflight.append((b, padded, valid, result, device))
+            if len(inflight) > window:
+                yield force(inflight.popleft())
+        while inflight:
+            yield force(inflight.popleft())
+        if error:
+            raise error[0]
+    finally:
+        thread.join(timeout=5.0)

@@ -1,0 +1,55 @@
+"""Small arithmetic and filesystem helpers.
+
+Covers the roles of the reference's src/misc.h:45-150 (divUp/roundUp/divDown,
+tmp-file handling). The magic-number division tricks (DownDivider) are
+unnecessary in Python/JAX and intentionally omitted.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+_tmp_dir: str | None = None
+
+
+def div_up(a: int, b: int) -> int:
+    """Ceiling division for non-negative a, positive b."""
+    return -(-a // b)
+
+
+def round_up(a: int, b: int) -> int:
+    """Round a up to the next multiple of b."""
+    return div_up(a, b) * b
+
+
+def div_down(a: int, b: int) -> int:
+    """Floor division that is correct for negative a (like src/misc.h:136)."""
+    return a // b
+
+
+def next_pow2(n: int) -> int:
+    """Smallest power of two >= max(n, 1)."""
+    n = max(int(n), 1)
+    return 1 << (n - 1).bit_length()
+
+
+def set_tmp_dir(path: str) -> None:
+    """Set the directory used for temporary spill files (--tmp-dir)."""
+    global _tmp_dir
+    _tmp_dir = path
+
+
+def get_tmp_dir() -> str:
+    return _tmp_dir if _tmp_dir is not None else tempfile.gettempdir()
+
+
+def create_tmp_file(prefix: str = "mlsgpu_tpu.") -> str:
+    """Create a named temporary file in the configured tmp dir, return its path.
+
+    Mirrors createTmpFile (src/misc.cpp): the file persists until explicitly
+    removed so it can back out-of-core spill data.
+    """
+    fd, path = tempfile.mkstemp(prefix=prefix, dir=get_tmp_dir())
+    os.close(fd)
+    return path

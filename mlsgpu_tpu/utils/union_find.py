@@ -1,0 +1,108 @@
+"""Array-based union-find with path compression and size-ranked merging.
+
+Replaces src/union_find.h:51-212. Used by the mesher for local/global surface
+component ("clump") identification. The numpy batch operations let the hot
+per-block pass (merge along every triangle edge) run vectorized rounds instead
+of a per-edge Python loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class UnionFind:
+    """Union-find over n elements with per-root size metadata.
+
+    merge() hooks can be layered by subclassing and overriding on_merge(root, child).
+    """
+
+    def __init__(self, n: int):
+        self.parent = np.arange(n, dtype=np.int64)
+        self.size = np.ones(n, dtype=np.int64)
+
+    def __len__(self) -> int:
+        return len(self.parent)
+
+    def add(self, count: int = 1) -> int:
+        """Append new singleton elements; returns index of the first new one."""
+        start = len(self.parent)
+        self.parent = np.concatenate([self.parent, np.arange(start, start + count, dtype=np.int64)])
+        self.size = np.concatenate([self.size, np.ones(count, dtype=np.int64)])
+        return start
+
+    def find(self, x: int) -> int:
+        parent = self.parent
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        # Path compression
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return int(root)
+
+    def find_many(self, xs: np.ndarray) -> np.ndarray:
+        """Vectorized find: repeatedly map through parent until fixpoint,
+        then compress."""
+        parent = self.parent
+        roots = np.asarray(xs, dtype=np.int64)
+        while True:
+            nxt = parent[roots]
+            if np.array_equal(nxt, roots):
+                break
+            roots = nxt
+        parent[np.asarray(xs, dtype=np.int64)] = roots
+        return roots
+
+    def on_merge(self, root: int, child: int) -> None:
+        """Hook: called after child's tree is attached under root."""
+
+    def merge(self, a: int, b: int) -> int:
+        """Union the sets of a and b; returns the new root."""
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return ra
+        if self.size[ra] < self.size[rb]:
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+        self.size[ra] += self.size[rb]
+        self.on_merge(ra, rb)
+        return ra
+
+    def merge_pairs(self, a: np.ndarray, b: np.ndarray) -> None:
+        """Union many pairs. Vectorized rounds: each round links every root to
+        the min root among its pending partners, halving the component count
+        per round (O(E * alpha-ish rounds) in practice)."""
+        a = np.asarray(a, dtype=np.int64)
+        b = np.asarray(b, dtype=np.int64)
+        while len(a):
+            ra = self.find_many(a)
+            rb = self.find_many(b)
+            keep = ra != rb
+            ra, rb = ra[keep], rb[keep]
+            if not len(ra):
+                break
+            lo = np.minimum(ra, rb)
+            hi = np.maximum(ra, rb)
+            # For each hi root, attach to the smallest lo partner this round.
+            order = np.lexsort((lo, hi))
+            hi_s, lo_s = hi[order], lo[order]
+            first = np.ones(len(hi_s), dtype=bool)
+            first[1:] = hi_s[1:] != hi_s[:-1]
+            child, root = hi_s[first], lo_s[first]
+            # A node must not be both child and root in the same round, or
+            # size accumulation order would matter; defer such links.
+            is_child = np.zeros(len(self.parent), dtype=bool)
+            is_child[child] = True
+            ok = ~is_child[root]
+            child, root = child[ok], root[ok]
+            np.add.at(self.size, root, self.size[child])
+            self.parent[child] = root
+            a, b = ra, rb  # re-examine remaining links next round
+
+    def component_size(self, x: int) -> int:
+        return int(self.size[self.find(x)])
+
+    def roots(self) -> np.ndarray:
+        """Root id for every element (fully compressed)."""
+        return self.find_many(np.arange(len(self.parent)))

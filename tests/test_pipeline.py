@@ -1,0 +1,284 @@
+"""Host pipeline tests: blobs, bucketing, splat sources, mesher
+(mirrors test/test_splat_set.cpp, test/test_bucket.cpp, test/test_mesher.cpp)."""
+
+import numpy as np
+import pytest
+
+from mlsgpu_tpu.core.chunk import ChunkId
+from mlsgpu_tpu.core.grid import Grid
+from mlsgpu_tpu.io.splat_set import FileSource, SequenceSource, merge_ranges
+from mlsgpu_tpu.io import ply
+from mlsgpu_tpu.pipeline import blobs as blobs_mod
+from mlsgpu_tpu.pipeline import bucket as bucket_mod
+from mlsgpu_tpu.pipeline.mesher import BlockInput, OOCMesher
+from mlsgpu_tpu.utils.errors import DensityError
+from mlsgpu_tpu.utils.manifold import check_manifold
+
+from tests import oracle
+
+
+def make_cloud(n=5000, seed=0, center=(5, 5, 5), radius=3.0, sr=0.1):
+    rng = np.random.default_rng(seed)
+    return oracle.sphere_cloud(center, radius, n, sr, rng)
+
+
+class TestSplatSources:
+    """Contract tests run against every source model (the reference's
+    TestSplatSet<SetType> pattern, test/test_splat_set.h:231-380)."""
+
+    @pytest.fixture(params=["sequence", "files"])
+    def source(self, request, tmp_path):
+        splats = make_cloud(1000)
+        if request.param == "sequence":
+            yield SequenceSource(splats), splats
+        else:
+            # split into 3 files to exercise file boundaries
+            paths = []
+            for i, seg in enumerate(np.array_split(splats, 3)):
+                p = str(tmp_path / f"part{i}.ply")
+                ply.write_splats_ply(p, seg)
+                paths.append(p)
+            src = FileSource(paths, smooth=1.0)
+            yield src, splats
+            src.close()
+
+    def test_len(self, source):
+        src, splats = source
+        assert len(src) == len(splats)
+
+    def test_iter_chunks_covers_all(self, source):
+        src, splats = source
+        got = []
+        next_id = 0
+        for first, chunk in src.iter_chunks(chunk_size=137):
+            assert first == next_id
+            next_id += len(chunk)
+            got.append(chunk)
+        got = np.concatenate(got)
+        np.testing.assert_allclose(got[:, :7], splats[:, :7], rtol=1e-6)
+
+    def test_read_ranges(self, source):
+        src, splats = source
+        ranges = [(10, 50), (400, 700), (990, 1000)]
+        got = src.read_ranges(ranges)
+        expect = np.concatenate([splats[a:b] for a, b in ranges])
+        np.testing.assert_allclose(got[:, :7], expect[:, :7], rtol=1e-6)
+
+    def test_read_ranges_across_files(self, source):
+        src, splats = source
+        got = src.read_ranges([(300, 680)])  # spans file boundaries
+        np.testing.assert_allclose(got[:, :7], splats[300:680, :7], rtol=1e-6)
+
+
+def test_merge_ranges():
+    assert merge_ranges([(5, 10), (0, 3), (9, 12), (3, 5)]) == [(0, 12)]
+    assert merge_ranges([(0, 2), (4, 6)]) == [(0, 2), (4, 6)]
+    assert merge_ranges([(0, 2), (4, 6)], max_gap=2) == [(0, 6)]
+    assert merge_ranges([]) == []
+
+
+class TestBlobs:
+    def test_blob_compression_and_coverage(self):
+        splats = make_cloud(3000, radius=2.0, sr=0.05)
+        src = SequenceSource(splats)
+        info = blobs_mod.compute_blobs(src, spacing=0.1, micro_cells=16)
+        blobs = info.blobs
+        # every splat covered exactly once, in order
+        assert blobs.num_splats == 3000
+        ends = blobs.start + blobs.count
+        assert blobs.start[0] == 0
+        np.testing.assert_array_equal(blobs.start[1:], ends[:-1])
+        # ranges are conservative: recompute per-splat micro range
+        inv = np.float32(1.0) / np.float32(0.1)
+        pos, r = splats[:, :3], splats[:, 3][:, None]
+        lo = np.floor_divide(np.floor((pos - r) * inv).astype(np.int64), 16)
+        hi = np.floor_divide(np.floor((pos + r) * inv).astype(np.int64), 16)
+        for b in range(len(blobs)):
+            s, e = blobs.start[b], blobs.start[b] + blobs.count[b]
+            np.testing.assert_array_equal(lo[s:e], blobs.lo[b][None].repeat(e - s, 0))
+            np.testing.assert_array_equal(hi[s:e], blobs.hi[b][None].repeat(e - s, 0))
+        # grid covers all influence
+        gmin = np.array([e[0] for e in info.grid.extents])
+        gmax = np.array([e[1] for e in info.grid.extents])
+        assert (np.floor((pos - r) * inv) >= gmin).all()
+        assert (np.floor((pos + r) * inv) + 1 <= gmax).all()
+
+    def test_nonfinite_skipped(self):
+        splats = make_cloud(100)
+        splats[10, 0] = np.nan
+        splats[50, 3] = -1.0
+        info = blobs_mod.compute_blobs(SequenceSource(splats), 0.1, 16)
+        assert info.num_nonfinite == 2
+        covered = np.zeros(100, dtype=bool)
+        for b in range(len(info.blobs)):
+            s, e = info.blobs.start[b], info.blobs.start[b] + info.blobs.count[b]
+            covered[s:e] = True
+        assert not covered[10] and not covered[50]
+        assert covered.sum() == 98
+
+    def test_chunk_boundary_runs(self):
+        """A run crossing iter_chunks boundaries must stay one blob."""
+        splats = np.tile(make_cloud(1)[0], (500, 1))  # 500 identical splats
+        src = SequenceSource(splats)
+        # force tiny chunks
+        orig = src.iter_chunks
+        info = blobs_mod.compute_blobs(
+            type("S", (), {"iter_chunks": lambda self, chunk_size=0: orig(37),
+                           "__len__": lambda self: 500,
+                           "read_ranges": None})(), 0.1, 16)
+        assert len(info.blobs) == 1
+        assert info.blobs.count[0] == 500
+
+
+class TestBucketing:
+    def test_regions_cover_and_respect_budgets(self):
+        splats = make_cloud(20000, radius=4.0, sr=0.05)
+        src = SequenceSource(splats)
+        info = blobs_mod.compute_blobs(src, spacing=0.05, micro_cells=16)
+        buckets = bucket_mod.make_buckets(info, block_cells=63, micro_cells=16,
+                                          max_splats=3000)
+        assert buckets
+        grid_cells = np.asarray(info.grid.shape_cells)
+        inv = np.float32(1.0) / np.float32(0.05)
+        ext_lo = np.array([e[0] for e in info.grid.extents])
+        pos, r = splats[:, :3], splats[:, 3][:, None]
+        slo = np.floor((pos - r) * inv).astype(np.int64) - ext_lo
+        shi = np.floor((pos + r) * inv).astype(np.int64) - ext_lo
+        covered = np.zeros(len(splats), dtype=bool)
+        for b in buckets:
+            assert (b.cells <= 63).all()
+            assert (b.cell_lo >= 0).all() and (b.cell_hi <= grid_cells).all()
+            # blob ranges must include every splat whose box intersects
+            ids = set()
+            for i in b.blob_ids:
+                s, e = info.blobs.start[i], info.blobs.start[i] + info.blobs.count[i]
+                ids.update(range(int(s), int(e)))
+            inter = ((shi >= b.cell_lo) & (slo < b.cell_hi)).all(axis=1)
+            missing = np.nonzero(inter)[0]
+            for m in missing:
+                assert int(m) in ids, f"splat {m} missing from bucket"
+            covered |= inter
+        assert covered.all()
+
+    def test_density_error(self):
+        # all splats in one point -> cannot subdivide below budget
+        splats = np.tile(make_cloud(1)[0], (500, 1))
+        info = blobs_mod.compute_blobs(SequenceSource(splats), 0.1, 4)
+        with pytest.raises(DensityError):
+            bucket_mod.make_buckets(info, block_cells=63, micro_cells=4,
+                                    max_splats=100)
+
+
+class TestMesher:
+    """Synthetic MesherWork-style streams (reference TestMesherBase,
+    test/test_mesher.cpp:126-1210)."""
+
+    GRID = Grid.make((0, 0, 0), 1.0, [(0, 100)] * 3)
+
+    @staticmethod
+    def quad(x0, key_base, z=0.0):
+        """An open quad of 2 triangles; corners at x0..x0+1."""
+        verts = np.array([[x0, 0, z], [x0 + 1, 0, z],
+                          [x0, 1, z], [x0 + 1, 1, z]], np.float32)
+        tris = np.array([[0, 1, 2], [1, 3, 2]])
+        keys = np.arange(4) + key_base
+        return verts, tris, keys
+
+    def test_weld_across_blocks(self, tmp_path):
+        mesher = OOCMesher(self.GRID, prune=0.0)
+        # two blocks sharing the boundary vertices (1,0,0)=key100 and
+        # (1,1,0)=key101 (externals must come last in each block)
+        v1 = np.array([[0, 0, 0], [0, 1, 0], [1, 0, 0], [1, 1, 0]], np.float32)
+        t1 = np.array([[0, 2, 1], [2, 3, 1]])
+        mesher.add(BlockInput(ChunkId(), v1, 2, np.array([100, 101]), t1))
+        v2 = np.array([[2, 0, 0], [1, 0, 0], [1, 1, 0]], np.float32)
+        t2 = np.array([[1, 0, 2]])
+        mesher.add(BlockInput(ChunkId(), v2, 1, np.array([100, 101]), t2))
+        out = str(tmp_path / "weld.ply")
+        mesher.write(out)
+        verts, tris = ply.read_mesh(out)
+        assert len(verts) == 5  # 4 + 3 - 2 shared
+        assert len(tris) == 3
+        rep = check_manifold(verts, tris)
+        assert rep.is_manifold, rep.reason
+        assert rep.num_components == 1
+        mesher.cleanup()
+
+    def test_pruning(self, tmp_path):
+        mesher = OOCMesher(self.GRID, prune=0.4)  # threshold 0.4*12 = 4.8
+        vbig, tbig, _ = self.quad(0, 0)
+        # big component: 3 connected quads (8 verts)
+        big_v = np.concatenate([vbig, vbig + [2, 0, 0]])
+        big_t = np.concatenate([tbig, tbig + 4])
+        big_t = np.concatenate([big_t, [[1, 4, 3], [4, 6, 3]]])  # connect
+        mesher.add(BlockInput(ChunkId(), big_v, 8, np.zeros(0, np.int64), big_t))
+        # small separate component (4 verts < 4.8)
+        small_v, small_t, _ = self.quad(50, 0, z=10.0)
+        mesher.add(BlockInput(ChunkId(), small_v, 4, np.zeros(0, np.int64), small_t))
+        out = str(tmp_path / "pruned.ply")
+        mesher.write(out)
+        verts, tris = ply.read_mesh(out)
+        assert len(verts) == 8  # small component pruned
+        assert verts[:, 0].max() < 40
+        mesher.cleanup()
+
+    def test_pruning_merged_across_blocks_survives(self, tmp_path):
+        """Components connected via external keys must be sized globally
+        before pruning."""
+        mesher = OOCMesher(self.GRID, prune=0.4)
+        # two blocks, each a quad, connected via keys -> one 6-vert component
+        v1 = np.array([[0, 0, 0], [0, 1, 0], [1, 0, 0], [1, 1, 0]], np.float32)
+        t1 = np.array([[0, 2, 1], [2, 3, 1]])
+        mesher.add(BlockInput(ChunkId(), v1, 2, np.array([7, 8]), t1))
+        v2 = np.array([[2, 0, 0], [2, 1, 0], [1, 0, 0], [1, 1, 0]], np.float32)
+        t2 = np.array([[2, 0, 3], [0, 1, 3]])
+        mesher.add(BlockInput(ChunkId(), v2, 2, np.array([7, 8]), t2))
+        # an isolated quad that should be pruned (4 < 0.4 * 10)
+        v3, t3, _ = self.quad(50, 0, z=5.0)
+        mesher.add(BlockInput(ChunkId(), v3, 4, np.zeros(0, np.int64), t3))
+        out = str(tmp_path / "merge_prune.ply")
+        mesher.write(out)
+        verts, tris = ply.read_mesh(out)
+        assert len(verts) == 6
+        assert len(tris) == 4
+        mesher.cleanup()
+
+    def test_chunked_output(self, tmp_path):
+        mesher = OOCMesher(self.GRID, prune=0.0)
+        for i, cid in enumerate([ChunkId(0, (0, 0, 0)), ChunkId(1, (1, 0, 0))]):
+            v, t, _ = self.quad(i * 10, 0)
+            mesher.add(BlockInput(cid, v, 4, np.zeros(0, np.int64), t))
+        out = str(tmp_path / "chunks.ply")
+        files = mesher.write(out, split_size=1000)
+        assert len(files) == 2
+        for f in files:
+            verts, tris = ply.read_mesh(f)
+            assert len(verts) == 4 and len(tris) == 2
+        mesher.cleanup()
+
+    def test_checkpoint_resume(self, tmp_path):
+        mesher = OOCMesher(self.GRID, prune=0.0)
+        v, t, _ = self.quad(0, 0)
+        mesher.add(BlockInput(ChunkId(), v, 4, np.zeros(0, np.int64), t))
+        ckpt = str(tmp_path / "state.ckpt")
+        mesher.checkpoint(ckpt)
+
+        resumed = OOCMesher.resume(ckpt)
+        out = str(tmp_path / "resumed.ply")
+        resumed.write(out)
+        verts, tris = ply.read_mesh(out)
+        assert len(verts) == 4 and len(tris) == 2
+
+    def test_world_transform(self, tmp_path):
+        grid = Grid.make((10.0, 20.0, 30.0), 0.5, [(4, 10)] * 3)
+        mesher = OOCMesher(grid, prune=0.0)
+        v = np.array([[0, 0, 0], [2, 0, 0], [0, 2, 0]], np.float32)
+        t = np.array([[0, 1, 2]])
+        mesher.add(BlockInput(ChunkId(), v, 3, np.zeros(0, np.int64), t))
+        out = str(tmp_path / "world.ply")
+        mesher.write(out)
+        verts, _ = ply.read_mesh(out)
+        # grid coord 0 -> world reference + spacing * extent_lo
+        np.testing.assert_allclose(verts[0], [12.0, 22.0, 32.0])
+        np.testing.assert_allclose(verts[1], [13.0, 22.0, 32.0])
+        mesher.cleanup()

@@ -1,0 +1,148 @@
+"""End-to-end reconstruction tests: synthetic sphere cloud -> manifold PLY
+(the reference's integration level: TestMarching::testSphere +
+plymanifold verification, BASELINE.md config 1)."""
+
+import numpy as np
+import pytest
+
+from mlsgpu_tpu.config import ReconstructConfig
+from mlsgpu_tpu.io import ply
+from mlsgpu_tpu.io.splat_set import FileSource, SequenceSource
+from mlsgpu_tpu.pipeline.reconstruct import reconstruct, resume
+from mlsgpu_tpu.utils.manifold import check_manifold
+
+from tests import oracle
+
+CENTER = np.array([0.7, -0.3, 0.2])
+RADIUS = 3.0
+
+
+def small_config(**kw) -> ReconstructConfig:
+    base = dict(
+        fit_grid=0.1, fit_smooth=1.0, fit_prune=0.02,
+        levels=3, subsampling=3,      # 32^3-corner blocks
+        leaf_cells=8,
+        max_device_splats=200000,
+        tile_candidates=512,
+        cell_cap=1 << 15, vertex_cap=1 << 17, index_cap=3 << 17,
+        progress=False,
+    )
+    base.update(kw)
+    return ReconstructConfig(**base)
+
+
+def make_sphere_source(n=20000, sr=0.25, seed=21):
+    rng = np.random.default_rng(seed)
+    splats = oracle.sphere_cloud(CENTER, RADIUS, n, sr, rng)
+    return SequenceSource(splats)
+
+
+def check_sphere_output(path, expect_components=1, closed=True):
+    """Manifoldness is required always. `closed` additionally demands zero
+    boundary edges, which holds exactly for single-block runs; multi-block
+    runs can have rare hairline cracks where adjacent blocks' float
+    accumulation orders flip a near-zero iso sign (the reference has the
+    same exposure — its manifold definition permits boundary,
+    extras/plymanifold.cpp). See PLAN.md for the canonical-ordering fix."""
+    verts, tris = ply.read_mesh(path)
+    assert len(verts) > 500
+    rep = check_manifold(verts, tris)
+    assert rep.is_manifold, rep.reason
+    if closed:
+        assert rep.num_boundary_edges == 0
+        assert rep.num_components == expect_components
+        assert rep.euler_characteristics == [2] * expect_components
+    else:
+        assert rep.num_boundary_edges <= max(len(verts) // 500, 32)
+        assert rep.num_components <= expect_components + 4
+    r = np.linalg.norm(verts - CENTER, axis=1)
+    # MLS reconstruction of a sphere cloud with outward normals
+    assert abs(np.median(r) - RADIUS) < 0.08
+    assert np.abs(r - RADIUS).max() < 0.25
+    return verts, tris
+
+
+@pytest.mark.slow
+class TestEndToEnd:
+    def test_sphere_single_bucket(self, tmp_path):
+        """Whole cloud fits one block: config-1 of BASELINE.md."""
+        cfg = small_config(levels=4)  # 64^3 block > 62-cell grid... one bucket
+        out = str(tmp_path / "sphere1.ply")
+        files = reconstruct(make_sphere_source(), cfg, out)
+        assert files == [out]
+        check_sphere_output(out)
+
+    def test_sphere_multi_bucket(self, tmp_path):
+        """Grid spans multiple 31-cell blocks: exercises cross-block welding
+        on real geometry."""
+        cfg = small_config()
+        out = str(tmp_path / "sphere2.ply")
+        files = reconstruct(make_sphere_source(), cfg, out)
+        check_sphere_output(out, closed=False)
+
+    def test_multi_bucket_matches_single(self, tmp_path):
+        """Block decomposition must not change the surface beyond float
+        noise at shared corners: vertex/triangle counts agree to ~0.1% and
+        the geometry matches where keys coincide."""
+        src = make_sphere_source(8000, sr=0.35)
+        out1 = str(tmp_path / "a.ply")
+        out2 = str(tmp_path / "b.ply")
+        reconstruct(src, small_config(levels=4), out1)
+        reconstruct(src, small_config(levels=3), out2)
+        v1, t1 = ply.read_mesh(out1)
+        v2, t2 = ply.read_mesh(out2)
+        assert abs(len(v1) - len(v2)) <= max(len(v1) // 500, 8)
+        assert abs(len(t1) - len(t2)) <= max(len(t1) // 500, 16)
+        # distributions match closely
+        r1 = np.sort(np.linalg.norm(v1 - CENTER, axis=1))
+        r2 = np.sort(np.linalg.norm(v2 - CENTER, axis=1))
+        m = min(len(r1), len(r2))
+        assert np.abs(r1[:m] - r2[:m]).max() < 0.02
+
+    def test_determinism_same_decomposition(self, tmp_path):
+        """Identical runs produce identical geometry (the reference's
+        determinism contract, doc/mlsgpu-user-manual.xml:494-499)."""
+        src = make_sphere_source(6000, sr=0.4)
+        out1 = str(tmp_path / "r1.ply")
+        out2 = str(tmp_path / "r2.ply")
+        reconstruct(src, small_config(), out1)
+        reconstruct(src, small_config(), out2)
+        v1, t1 = ply.read_mesh(out1)
+        v2, t2 = ply.read_mesh(out2)
+        s1 = v1[np.lexsort(v1.T)]
+        s2 = v2[np.lexsort(v2.T)]
+        np.testing.assert_array_equal(s1, s2)
+        assert len(t1) == len(t2)
+
+    def test_file_source_end_to_end(self, tmp_path):
+        """PLY files in -> PLY mesh out, with radius smoothing applied at
+        decode (the full CLI data path)."""
+        rng = np.random.default_rng(5)
+        splats = oracle.sphere_cloud(CENTER, RADIUS, 15000, 0.125, rng)
+        paths = []
+        for i, seg in enumerate(np.array_split(splats, 2)):
+            p = str(tmp_path / f"in{i}.ply")
+            ply.write_splats_ply(p, seg)
+            paths.append(p)
+        src = FileSource(paths, smooth=2.0)  # radius 0.125 -> 0.25
+        cfg = small_config(levels=4, fit_smooth=2.0)
+        out = str(tmp_path / "fromfile.ply")
+        reconstruct(src, cfg, out)
+        src.close()
+        check_sphere_output(out)
+
+    def test_checkpoint_resume_end_to_end(self, tmp_path):
+        ckpt = str(tmp_path / "ck.state")
+        cfg = small_config(levels=4, checkpoint=ckpt)
+        files = reconstruct(make_sphere_source(), cfg, str(tmp_path / "x.ply"))
+        assert files == []
+        out = str(tmp_path / "resumed.ply")
+        cfg2 = small_config(levels=4)
+        resume(ckpt, cfg2, out)
+        check_sphere_output(out)
+
+    def test_plane_fit_shape(self, tmp_path):
+        cfg = small_config(levels=4, fit_shape="plane")
+        out = str(tmp_path / "plane_fit.ply")
+        reconstruct(make_sphere_source(), cfg, out)
+        check_sphere_output(out)
