@@ -1,0 +1,207 @@
+"""ctypes loader for the native runtime library.
+
+Builds lazily with make/g++ on first import when the .so is missing (the
+role of the reference's waf build for its C++ host runtime); every consumer
+has a pure-numpy fallback, so absence of a toolchain only costs speed.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_SO = os.path.join(_HERE, "libmlsnative.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_I64 = ctypes.POINTER(ctypes.c_int64)
+_U8 = ctypes.POINTER(ctypes.c_uint8)
+_F32 = ctypes.POINTER(ctypes.c_float)
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _HERE, "-s"], check=True,
+                       capture_output=True, timeout=120)
+        return os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def get_lib():
+    """The loaded library, or None when unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.mls_uf_find_many.argtypes = [_I64, _I64, _I64, ctypes.c_int64]
+        lib.mls_uf_merge_pairs.argtypes = [
+            _I64, _I64, ctypes.POINTER(_I64), ctypes.c_int64,
+            _I64, _I64, ctypes.c_int64]
+        lib.mls_keymap_new.restype = ctypes.c_void_p
+        lib.mls_keymap_new.argtypes = [ctypes.c_int64]
+        lib.mls_keymap_free.argtypes = [ctypes.c_void_p]
+        lib.mls_keymap_size.restype = ctypes.c_int64
+        lib.mls_keymap_size.argtypes = [ctypes.c_void_p]
+        lib.mls_keymap_get_or_insert.argtypes = [
+            ctypes.c_void_p, _I64, ctypes.c_int64, _I64, _I64, _U8]
+        lib.mls_keymap_lookup.argtypes = [ctypes.c_void_p, _I64,
+                                          ctypes.c_int64, _I64]
+        lib.mls_keymap_items.argtypes = [ctypes.c_void_p, _I64, _I64]
+        lib.mls_decode_splats.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, _I64,
+            ctypes.c_float, ctypes.c_float, _F32]
+        _lib = lib
+        return _lib
+
+
+def _ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctype)
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+class KeyMap:
+    """Batch int64->int64 hash map backed by the native library, with a
+    pure-dict fallback. Used for the mesher's key->clump and key->index
+    maps (src/mesher.h:349-352)."""
+
+    def __init__(self, capacity_hint: int = 1024):
+        self._lib = get_lib()
+        if self._lib is not None:
+            self._h = self._lib.mls_keymap_new(capacity_hint)
+            self._dict = None
+        else:
+            self._h = None
+            self._dict = {}
+
+    def __del__(self):
+        if getattr(self, "_h", None) is not None and self._lib is not None:
+            self._lib.mls_keymap_free(self._h)
+            self._h = None
+
+    def __len__(self) -> int:
+        if self._dict is not None:
+            return len(self._dict)
+        return int(self._lib.mls_keymap_size(self._h))
+
+    def get_or_insert(self, keys: np.ndarray, insert_vals: np.ndarray):
+        """Returns (values (n,), was_new (n,) bool)."""
+        keys = np.ascontiguousarray(keys, dtype=np.int64)
+        insert_vals = np.ascontiguousarray(insert_vals, dtype=np.int64)
+        n = len(keys)
+        if self._dict is not None:
+            out = np.empty(n, np.int64)
+            new = np.empty(n, bool)
+            d = self._dict
+            for i in range(n):
+                k = int(keys[i])
+                v = d.get(k)
+                if v is None:
+                    d[k] = v = int(insert_vals[i])
+                    new[i] = True
+                else:
+                    new[i] = False
+                out[i] = v
+            return out, new
+        out = np.empty(n, np.int64)
+        new = np.empty(n, np.uint8)
+        self._lib.mls_keymap_get_or_insert(
+            self._h, _ptr(keys, _I64), n, _ptr(insert_vals, _I64),
+            _ptr(out, _I64), _ptr(new, _U8))
+        return out, new.astype(bool)
+
+    def lookup(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.ascontiguousarray(keys, dtype=np.int64)
+        n = len(keys)
+        if self._dict is not None:
+            return np.array([self._dict.get(int(k), -1) for k in keys],
+                            dtype=np.int64)
+        out = np.empty(n, np.int64)
+        self._lib.mls_keymap_lookup(self._h, _ptr(keys, _I64), n,
+                                    _ptr(out, _I64))
+        return out
+
+    def items_arrays(self):
+        """(keys, values) arrays — for checkpoint serialization."""
+        if self._dict is not None:
+            if not self._dict:
+                return (np.empty(0, np.int64), np.empty(0, np.int64))
+            ks = np.fromiter(self._dict.keys(), np.int64, len(self._dict))
+            vs = np.fromiter(self._dict.values(), np.int64, len(self._dict))
+            return ks, vs
+        n = len(self)
+        ks = np.empty(n, np.int64)
+        vs = np.empty(n, np.int64)
+        self._lib.mls_keymap_items(self._h, _ptr(ks, _I64), _ptr(vs, _I64))
+        return ks, vs
+
+    @classmethod
+    def from_items(cls, keys: np.ndarray, vals: np.ndarray) -> "KeyMap":
+        km = cls(capacity_hint=max(len(keys), 1024))
+        if len(keys):
+            km.get_or_insert(keys, vals)
+        return km
+
+    # pickle support (checkpoint/resume)
+    def __getstate__(self):
+        ks, vs = self.items_arrays()
+        return {"keys": ks, "vals": vs}
+
+    def __setstate__(self, state):
+        fresh = KeyMap.from_items(state["keys"], state["vals"])
+        self.__dict__.update(fresh.__dict__)
+        fresh._h = None  # ownership moved
+
+
+def uf_find_many(parent: np.ndarray, xs: np.ndarray) -> np.ndarray:
+    lib = get_lib()
+    xs = np.ascontiguousarray(xs, dtype=np.int64)
+    if lib is None:
+        return None  # caller falls back
+    out = np.empty(len(xs), np.int64)
+    lib.mls_uf_find_many(_ptr(parent, _I64), _ptr(xs, _I64),
+                         _ptr(out, _I64), len(xs))
+    return out
+
+
+def uf_merge_pairs(parent: np.ndarray, size: np.ndarray, metas,
+                   a: np.ndarray, b: np.ndarray) -> bool:
+    lib = get_lib()
+    if lib is None:
+        return False
+    a = np.ascontiguousarray(a, dtype=np.int64)
+    b = np.ascontiguousarray(b, dtype=np.int64)
+    meta_ptrs = (_I64 * len(metas))(*[_ptr(m, _I64) for m in metas])
+    lib.mls_uf_merge_pairs(_ptr(parent, _I64), _ptr(size, _I64),
+                           meta_ptrs, len(metas),
+                           _ptr(a, _I64), _ptr(b, _I64), len(a))
+    return True
+
+
+def decode_splats(buf: bytes, n: int, stride: int, offsets: np.ndarray,
+                  smooth: float, max_radius: float):
+    lib = get_lib()
+    if lib is None:
+        return None
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    out = np.empty((n, 8), np.float32)
+    lib.mls_decode_splats(buf, n, stride, _ptr(offsets, _I64),
+                          np.float32(smooth), np.float32(max_radius),
+                          _ptr(out, _F32))
+    return out

@@ -1,0 +1,184 @@
+// Native runtime components for mlsgpu_tpu.
+//
+// The reference implements its entire host runtime in C++ (union-find
+// src/union_find.h, mesher hash maps src/mesher.h:349-352, PLY decode
+// src/fast_ply.cpp:334). These are the host-side hot paths at
+// billion-splat scale, so they are native here too: a batch union-find
+// operating on numpy-owned buffers, a 64-bit open-addressing hash map with
+// batch get-or-insert (the mesher's key->clump / key->index maps), and a
+// vectorized PLY record decoder.
+//
+// Plain C ABI, loaded via ctypes (no pybind11 in the image).
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------- unionfind
+// Iterative find with path halving. parent is an int64 numpy buffer.
+static inline int64_t uf_find(int64_t* parent, int64_t x) {
+    while (parent[x] != x) {
+        parent[x] = parent[parent[x]];
+        x = parent[x];
+    }
+    return x;
+}
+
+void mls_uf_find_many(int64_t* parent, const int64_t* xs, int64_t* out,
+                      int64_t n) {
+    for (int64_t i = 0; i < n; i++) out[i] = uf_find(parent, xs[i]);
+}
+
+// Merge pairs, maintaining size plus up to `n_meta` extra int64 metadata
+// arrays that accumulate child totals into the root (the reference's
+// UnionFind node-metadata merge hook, src/union_find.h:51-212).
+void mls_uf_merge_pairs(int64_t* parent, int64_t* size,
+                        int64_t** meta, int64_t n_meta,
+                        const int64_t* a, const int64_t* b, int64_t n) {
+    for (int64_t i = 0; i < n; i++) {
+        int64_t ra = uf_find(parent, a[i]);
+        int64_t rb = uf_find(parent, b[i]);
+        if (ra == rb) continue;
+        if (size[ra] < size[rb]) { int64_t t = ra; ra = rb; rb = t; }
+        parent[rb] = ra;
+        size[ra] += size[rb];
+        for (int64_t m = 0; m < n_meta; m++) meta[m][ra] += meta[m][rb];
+    }
+}
+
+// ------------------------------------------------------------------ keymap
+// Open-addressing hash map int64 -> int64 (linear probing, power-of-two
+// capacity). EMPTY slots use key = INT64_MIN.
+struct KeyMap {
+    std::vector<int64_t> keys;
+    std::vector<int64_t> vals;
+    int64_t count;
+    int64_t mask;
+};
+
+static const int64_t KM_EMPTY = INT64_MIN;
+
+static void km_grow(KeyMap* km);
+
+void* mls_keymap_new(int64_t capacity_hint) {
+    KeyMap* km = new KeyMap();
+    int64_t cap = 1024;
+    while (cap < capacity_hint * 2) cap <<= 1;
+    km->keys.assign(cap, KM_EMPTY);
+    km->vals.assign(cap, 0);
+    km->count = 0;
+    km->mask = cap - 1;
+    return km;
+}
+
+void mls_keymap_free(void* h) { delete static_cast<KeyMap*>(h); }
+
+int64_t mls_keymap_size(void* h) { return static_cast<KeyMap*>(h)->count; }
+
+static inline int64_t km_hash(int64_t k) {
+    uint64_t x = (uint64_t)k;
+    x ^= x >> 33; x *= 0xff51afd7ed558ccdULL;
+    x ^= x >> 33; x *= 0xc4ceb9fe1a85ec53ULL;
+    x ^= x >> 33;
+    return (int64_t)x;
+}
+
+static void km_grow(KeyMap* km) {
+    std::vector<int64_t> ok = std::move(km->keys);
+    std::vector<int64_t> ov = std::move(km->vals);
+    int64_t ncap = (km->mask + 1) * 2;
+    km->keys.assign(ncap, KM_EMPTY);
+    km->vals.assign(ncap, 0);
+    km->mask = ncap - 1;
+    for (size_t i = 0; i < ok.size(); i++) {
+        if (ok[i] == KM_EMPTY) continue;
+        int64_t slot = km_hash(ok[i]) & km->mask;
+        while (km->keys[slot] != KM_EMPTY) slot = (slot + 1) & km->mask;
+        km->keys[slot] = ok[i];
+        km->vals[slot] = ov[i];
+    }
+}
+
+// For each key: if present, out_vals = stored value, out_new = 0;
+// else insert insert_vals[i], out_vals = insert_vals[i], out_new = 1.
+void mls_keymap_get_or_insert(void* h, const int64_t* keys, int64_t n,
+                              const int64_t* insert_vals,
+                              int64_t* out_vals, uint8_t* out_new) {
+    KeyMap* km = static_cast<KeyMap*>(h);
+    for (int64_t i = 0; i < n; i++) {
+        if ((km->count + 1) * 4 >= (km->mask + 1) * 3) km_grow(km);
+        int64_t k = keys[i];
+        int64_t slot = km_hash(k) & km->mask;
+        while (true) {
+            if (km->keys[slot] == k) {
+                out_vals[i] = km->vals[slot];
+                out_new[i] = 0;
+                break;
+            }
+            if (km->keys[slot] == KM_EMPTY) {
+                km->keys[slot] = k;
+                km->vals[slot] = insert_vals[i];
+                km->count++;
+                out_vals[i] = insert_vals[i];
+                out_new[i] = 1;
+                break;
+            }
+            slot = (slot + 1) & km->mask;
+        }
+    }
+}
+
+void mls_keymap_lookup(void* h, const int64_t* keys, int64_t n,
+                       int64_t* out_vals) {
+    KeyMap* km = static_cast<KeyMap*>(h);
+    for (int64_t i = 0; i < n; i++) {
+        int64_t k = keys[i];
+        int64_t slot = km_hash(k) & km->mask;
+        out_vals[i] = -1;
+        while (km->keys[slot] != KM_EMPTY) {
+            if (km->keys[slot] == k) { out_vals[i] = km->vals[slot]; break; }
+            slot = (slot + 1) & km->mask;
+        }
+    }
+}
+
+// Dump all items (for checkpointing). out_keys/out_vals sized keymap_size.
+void mls_keymap_items(void* h, int64_t* out_keys, int64_t* out_vals) {
+    KeyMap* km = static_cast<KeyMap*>(h);
+    int64_t j = 0;
+    for (size_t i = 0; i < km->keys.size(); i++) {
+        if (km->keys[i] == KM_EMPTY) continue;
+        out_keys[j] = km->keys[i];
+        out_vals[j] = km->vals[i];
+        j++;
+    }
+}
+
+// -------------------------------------------------------------- ply decode
+// Decode n fixed-stride little-endian records into the (n, 8) splat layout
+// [x y z radius nx ny nz quality], applying the radius clamp + smooth scale
+// and quality = 1/r^2 (src/fast_ply.cpp:334-350). offsets: byte offsets of
+// x,y,z,nx,ny,nz,radius within a record.
+void mls_decode_splats(const char* buf, int64_t n, int64_t stride,
+                       const int64_t* offsets, float smooth,
+                       float max_radius, float* out) {
+    for (int64_t i = 0; i < n; i++) {
+        const char* rec = buf + i * stride;
+        float f[7];
+        for (int j = 0; j < 7; j++)
+            std::memcpy(&f[j], rec + offsets[j], 4);
+        float r = f[6];
+        if (r > max_radius) r = max_radius;  // NaN compares false: preserved
+        r *= smooth;
+        float* o = out + i * 8;
+        o[0] = f[0]; o[1] = f[1]; o[2] = f[2];
+        o[3] = r;
+        o[4] = f[3]; o[5] = f[4]; o[6] = f[5];
+        o[7] = 1.0f / (r * r);
+    }
+}
+
+}  // extern "C"

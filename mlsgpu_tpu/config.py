@@ -61,6 +61,7 @@ class ReconstructConfig:
     index_cap: int = 3 << 21           # index cap per block
 
     # --- pipeline ---
+    mls_backend: str = "auto"        # 'auto' | 'xla' | 'pallas'
     device_threads: int = 1
     output_split_size: int = 0       # bytes; 0 = single output file
     checkpoint: Optional[str] = None

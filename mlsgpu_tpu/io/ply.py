@@ -146,8 +146,21 @@ class PlyReader:
 
     def decode(self, raw: bytes) -> np.ndarray:
         """Decode raw records -> (N, 8) splats (vectorized FastPly decode +
-        radius clamp/smooth + quality, src/fast_ply.cpp:334-350)."""
+        radius clamp/smooth + quality, src/fast_ply.cpp:334-350). Uses the
+        native decoder when built; numpy strided-view fallback otherwise."""
         h = self.header
+        n = len(raw) // h.vertex_size
+        try:
+            from mlsgpu_tpu import _native as nat
+            offsets = np.array(
+                [h.offsets[k] for k in ("x", "y", "z", "nx", "ny", "nz",
+                                        "radius")], dtype=np.int64)
+            out = nat.decode_splats(raw, n, h.vertex_size, offsets,
+                                    self.smooth, self.max_radius)
+            if out is not None:
+                return out
+        except Exception:
+            pass
         buf = np.frombuffer(raw, dtype=np.uint8).reshape(-1, h.vertex_size)
         fields = np.empty((buf.shape[0], 7), dtype=np.float32)
         for i, name in enumerate(("x", "y", "z", "nx", "ny", "nz", "radius")):

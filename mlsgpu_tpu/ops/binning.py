@@ -65,23 +65,32 @@ class BinnedSplats(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=("min_shift", "max_shift"))
 def bin_splats(splats: jnp.ndarray, valid: jnp.ndarray,
+               cell_origin: jnp.ndarray,
                min_shift: int, max_shift: int) -> BinnedSplats:
-    """Bin block-local splats into sorted (node, splat) entries.
+    """Bin splats into sorted (node, splat) entries for one block.
+
+    Positions stay in the *global* grid frame throughout — like the
+    reference's kernels (octree.cl `bias` subtraction happens on integer
+    node coordinates only) — so every block sees bitwise-identical splat
+    values; block-dependent f32 rounding would otherwise cause cracks at
+    block seams.
 
     Args:
-      splats: (N, 8) f32, positions in block-local cell coords, col 3 = radius.
+      splats: (N, 8) f32, positions in global grid cell coords, col 3 = radius.
       valid: (N,) bool — padding / out-of-bucket splats are False.
+      cell_origin: (3,) int32 — the block's first cell in global coords.
       min_shift: leaf node size = 2^min_shift cells (the subsampling shift).
       max_shift: root node size = 2^max_shift cells (levels+subsampling-1).
     """
     n = splats.shape[0]
     pos = splats[:, 0:3]
     r = splats[:, 3]
+    origin = cell_origin.astype(jnp.int32)[None, :]
 
-    lo = jnp.floor(pos - r[:, None]).astype(jnp.int32)
-    hi = jnp.floor(pos + r[:, None]).astype(jnp.int32)
-    shift = jnp.clip(_level_shift(lo, hi), min_shift, max_shift)
-    ilo = jnp.maximum(lo, 0) >> shift[:, None]
+    lo_g = jnp.floor(pos - r[:, None]).astype(jnp.int32)
+    hi_g = jnp.floor(pos + r[:, None]).astype(jnp.int32)
+    shift = jnp.clip(_level_shift(lo_g, hi_g), min_shift, max_shift)
+    ilo = jnp.maximum(lo_g - origin, 0) >> shift[:, None]
 
     offs = jnp.asarray(level_offsets(min_shift, max_shift))
     level_offset = offs[shift - min_shift]
@@ -95,8 +104,8 @@ def bin_splats(splats: jnp.ndarray, valid: jnp.ndarray,
         for dy in (0, 1):
             for dx in (0, 1):
                 addr = ilo + jnp.array([dx, dy, dz], dtype=jnp.int32)
-                blo = (addr << shift[:, None]).astype(jnp.float32)
-                bhi = ((addr + 1) << shift[:, None]).astype(jnp.float32)
+                blo = ((addr << shift[:, None]) + origin).astype(jnp.float32)
+                bhi = (((addr + 1) << shift[:, None]) + origin).astype(jnp.float32)
                 isect = _point_box_dist2(pos, blo, bhi) < r2_conservative
                 inb = jnp.all(addr < bound[:, None], axis=-1)
                 key = level_offset + morton.encode_jnp(

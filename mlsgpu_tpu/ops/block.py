@@ -36,7 +36,7 @@ def block_step_body(splats: jnp.ndarray,
                     valid: jnp.ndarray,
                     region_cells: jnp.ndarray,
                     cell_origin: jnp.ndarray,
-                    boundary_factor: jnp.ndarray,
+                    boundary_factor: float,
                     *,
                     levels: int,
                     subsampling: int,
@@ -45,26 +45,41 @@ def block_step_body(splats: jnp.ndarray,
                     vertex_cap: int,
                     index_cap: int,
                     fit_shape: str = "sphere",
-                    tile_chunk: int = 32) -> BlockResult:
+                    tile_chunk: int = 32,
+                    mls_backend: str = "xla") -> BlockResult:
     """Reconstruct one block (un-jitted body; see block_step).
 
     Args:
-      splats: (Npad, 8) f32 — block-local cell coords, col 3 = radius (cells).
+      splats: (Npad, 8) f32 — *global* grid cell coords, col 3 = radius
+        (cells). Global coords keep shared splats bitwise identical across
+        blocks (crack avoidance; see ops/mls.py).
       valid: (Npad,) bool.
       region_cells: (3,) int32 (x,y,z) actual cells in the bucket region.
       cell_origin: (3,) int32 global cell coords of the block origin.
-      boundary_factor: () f32, 1 - gamma^2.
+      boundary_factor: python float, 1 - gamma^2 (static: config-constant).
     """
     min_shift = subsampling
     max_shift = levels + subsampling - 1
     tiles_per_axis = 1 << (max_shift - 3)  # block corners / 8
 
-    binned = binning.bin_splats(splats, valid, min_shift, max_shift)
+    binned = binning.bin_splats(splats, valid, cell_origin,
+                                min_shift, max_shift)
     starts, lens = binning.tile_segments(binned.entry_keys, min_shift,
                                          max_shift, tiles_per_axis)
-    field, max_total = mls.eval_field(
-        binned.entry_data, starts, lens, tiles_per_axis, max_candidates,
-        fit_shape, boundary_factor, tile_chunk=tile_chunk)
+    if mls_backend in ("pallas", "pallas_interpret"):
+        # Fused VMEM kernel (~100x+ the XLA path on TPU, ops/mls_pallas.py).
+        # No candidate cap: segments are walked in full.
+        from mlsgpu_tpu.ops.mls_pallas import eval_field_pallas
+        field, max_total = eval_field_pallas(
+            binned.entry_data, starts, lens, cell_origin, tiles_per_axis,
+            fit_shape=fit_shape,
+            boundary_factor=float(boundary_factor),
+            interpret=(mls_backend == "pallas_interpret"))
+    else:
+        field, max_total = mls.eval_field(
+            binned.entry_data, starts, lens, cell_origin, tiles_per_axis,
+            max_candidates, fit_shape, jnp.float32(boundary_factor),
+            tile_chunk=tile_chunk)
 
     mesh = marching.generate(field, region_cells, cell_origin,
                              cell_cap, vertex_cap, index_cap)
@@ -87,7 +102,16 @@ def block_step_body(splats: jnp.ndarray,
 
 block_step = functools.partial(
     jax.jit,
-    static_argnames=("levels", "subsampling", "max_candidates", "cell_cap",
-                     "vertex_cap", "index_cap", "fit_shape", "tile_chunk"),
+    static_argnames=("boundary_factor", "levels", "subsampling",
+                     "max_candidates", "cell_cap", "vertex_cap", "index_cap",
+                     "fit_shape", "tile_chunk", "mls_backend"),
 )(block_step_body)
 block_step.__doc__ = "Jitted block_step_body (one compile per static config)."
+
+
+def resolve_mls_backend(requested: str = "auto") -> str:
+    """'auto' -> fused Pallas kernel on TPU, XLA elsewhere."""
+    if requested != "auto":
+        return requested
+    import jax as _jax
+    return "xla" if _jax.default_backend() == "cpu" else "pallas"

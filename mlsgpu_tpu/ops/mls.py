@@ -45,6 +45,7 @@ def _corner_offsets() -> np.ndarray:
 def eval_field(entry_data: jnp.ndarray,
                seg_starts: jnp.ndarray,
                seg_lens: jnp.ndarray,
+               cell_origin: jnp.ndarray,
                tiles_per_axis: int,
                max_candidates: int,
                fit_shape: str,
@@ -53,8 +54,13 @@ def eval_field(entry_data: jnp.ndarray,
     """Evaluate the MLS signed distance on every corner of a block.
 
     Args:
-      entry_data: (E, 8) f32 sorted entry splat data (block-local, col3=1/r^2).
+      entry_data: (E, 8) f32 sorted entry splat data in *global* grid coords
+        (col3 = 1/r^2). Splats are re-centered on each tile's global origin
+        in a single f32 subtraction, so two blocks sharing a corner see
+        bitwise-identical distances — block-local frames would introduce
+        block-dependent rounding and cracks at seams.
       seg_starts/seg_lens: (T, L) per-tile per-level segments into entry_data.
+      cell_origin: (3,) int32 global cell coords of the block origin.
       tiles_per_axis: block corners = 8 * tiles_per_axis.
       max_candidates: K, static per-tile candidate cap.
       fit_shape: 'sphere' | 'plane'.
@@ -83,11 +89,13 @@ def eval_field(entry_data: jnp.ndarray,
     ks = jnp.arange(K, dtype=jnp.int32)          # (K,)
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
 
-    # Tile origins in block-local cell coords, (tz, ty, tx) C order.
+    # Tile origins in *global* cell coords, (tz, ty, tx) C order. Integer
+    # coords <= 2^21 are exact in f32.
     tz = tile_ids // (tpa * tpa)
     ty = (tile_ids // tpa) % tpa
     tx = tile_ids % tpa
-    origins = jnp.stack([tx, ty, tz], axis=1).astype(jnp.float32) * TILE  # (T, 3)
+    origins = (jnp.stack([tx, ty, tz], axis=1) * TILE
+               + cell_origin[None, :].astype(jnp.int32)).astype(jnp.float32)
 
     def chunk_fn(tids):
         c_starts = seg_starts[tids]              # (C, L)
@@ -152,9 +160,26 @@ def eval_field(entry_data: jnp.ndarray,
 
         return fit(sum_w, sum_wp, sum_wpp, sn, sum_wpn, hits, boundary_factor)
 
+    # Occupied-tile compaction: a surface typically crosses a small fraction
+    # of tiles; empty tiles (no candidates) are NaN by definition. Sorting
+    # occupied tiles first and looping a *dynamic* number of chunks skips
+    # the empty ones entirely (the XLA-friendly form of the reference's
+    # early-out on start[code] < 0, kernels/mls.cl:325).
     chunk = min(tile_chunk, num_tiles)
-    assert num_tiles % chunk == 0
-    f = jax.lax.map(chunk_fn, tile_ids.reshape(-1, chunk))  # (T/chunk, chunk, 512)
+    occupied = totals > 0
+    order = jnp.argsort(~occupied, stable=True).astype(jnp.int32)
+    n_occ = jnp.sum(occupied.astype(jnp.int32))
+    n_chunks = (n_occ + chunk - 1) // chunk
+
+    init = jnp.full((num_tiles, TILE_CORNERS), jnp.nan, jnp.float32)
+
+    def body(carry):
+        j, field = carry
+        tids = jax.lax.dynamic_slice(order, (j * chunk,), (chunk,))
+        f = chunk_fn(tids)
+        return j + 1, field.at[tids].set(f)
+
+    _, f = jax.lax.while_loop(lambda c: c[0] < n_chunks, body, (0, init))
     f = f.reshape(tpa, tpa, tpa, TILE, TILE, TILE)
     field = f.transpose(0, 3, 1, 4, 2, 5).reshape(tpa * TILE, tpa * TILE, tpa * TILE)
     return field, max_total

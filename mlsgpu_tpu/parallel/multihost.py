@@ -1,0 +1,328 @@
+"""Multi-host distributed reconstruction (the mlsgpu-mpi analogue).
+
+Role mapping from the reference (SURVEY.md §2.9, mlsgpu-mpi.cpp):
+
+- P8 collective blob/bbox pass -> each process streams its partition of the
+  input and the blob arrays are all-gathered (every process then derives the
+  *identical* bucket decomposition — replacing the shared-FS blob files +
+  Allreduce of src/splat_set_mpi.h:83-179).
+- P6 bucket scatter -> deterministic static assignment of output chunks to
+  processes (spatial sharding), replacing the master/slave pull model
+  (mlsgpu-mpi.cpp:202-246). Because external-vertex welding is per chunk and
+  chunk borders are duplicated by design, chunk-sharding needs no cross-host
+  mesh traffic at all.
+- P7/P9 gather + parallel write -> each process runs its own mesher and
+  writes its own chunk PLYs (per-host sharded files replace MPI-IO).
+- pruning -> component sizes are global: per-process clump summaries
+  (key -> root clump, root sizes) are all-gathered and merged identically on
+  every process, so all agree on the pruned set (replacing the reference's
+  global clump union over gathered keys).
+- P10 progress / statistics -> statistics registries are all-gathered and
+  merged on rank 0 (mlsgpu-mpi.cpp:302-339).
+
+Transports: `JaxTransport` rides jax.distributed (DCN/ICI); `LocalTransport`
+is the in-process fake used by tests (the reference tests the same logic
+with `mpirun -n 4` on one box, wscript:543-551).
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from mlsgpu_tpu.config import ReconstructConfig
+from mlsgpu_tpu.io.splat_set import SplatSource
+from mlsgpu_tpu.pipeline import blobs as blobs_mod
+from mlsgpu_tpu.pipeline import bucket as bucket_mod
+from mlsgpu_tpu.pipeline.blobs import BlobArray, BlobInfo
+from mlsgpu_tpu.pipeline.mesher import OOCMesher
+from mlsgpu_tpu.utils import logging as log
+from mlsgpu_tpu.utils.statistics import get_registry
+
+
+class Transport:
+    """Minimal collective interface over processes."""
+
+    @property
+    def rank(self) -> int:
+        raise NotImplementedError
+
+    @property
+    def size(self) -> int:
+        raise NotImplementedError
+
+    def allgather(self, obj) -> List:
+        """Gather a picklable object from every process, same order on all."""
+        raise NotImplementedError
+
+
+class LocalTransport(Transport):
+    """In-process fake: N logical ranks running in threads, synchronized by
+    a barrier (the test analogue of multiple local MPI ranks)."""
+
+    def __init__(self, rank: int, size: int, shared: Dict):
+        self._rank = rank
+        self._size = size
+        self._shared = shared
+        self._round = 0
+
+    @classmethod
+    def make(cls, size: int) -> List["LocalTransport"]:
+        import threading
+        shared = {"rounds": {}, "barrier": threading.Barrier(size),
+                  "lock": threading.Lock()}
+        return [cls(r, size, shared) for r in range(size)]
+
+    @property
+    def rank(self) -> int:
+        return self._rank
+
+    @property
+    def size(self) -> int:
+        return self._size
+
+    def allgather(self, obj) -> List:
+        rounds = self._shared["rounds"]
+        with self._shared["lock"]:
+            rounds.setdefault(self._round, {})[self._rank] = obj
+        self._shared["barrier"].wait()
+        out = [rounds[self._round][r] for r in range(self._size)]
+        self._shared["barrier"].wait()
+        with self._shared["lock"]:
+            rounds.pop(self._round, None)
+        self._round += 1
+        return out
+
+
+class JaxTransport(Transport):
+    """Cross-host collectives over the jax.distributed runtime. Objects are
+    pickled and exchanged as padded uint8 arrays via process_allgather."""
+
+    def __init__(self):
+        import jax
+        self._jax = jax
+        self._rank = jax.process_index()
+        self._size = jax.process_count()
+
+    @property
+    def rank(self) -> int:
+        return self._rank
+
+    @property
+    def size(self) -> int:
+        return self._size
+
+    def allgather(self, obj) -> List:
+        from jax.experimental import multihost_utils as mh
+        import jax.numpy as jnp
+        data = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+        n = np.int64(len(data))
+        sizes = np.asarray(mh.process_allgather(jnp.asarray(n)))
+        cap = int(sizes.max())
+        padded = np.zeros(cap, np.uint8)
+        padded[:len(data)] = data
+        all_data = np.asarray(mh.process_allgather(jnp.asarray(padded)))
+        return [pickle.loads(all_data[r, :int(sizes[r])].tobytes())
+                for r in range(self._size)]
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> JaxTransport:
+    """Initialize the jax multi-host runtime (MPI_Init analogue)."""
+    import jax
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return JaxTransport()
+
+
+def _partition(total: int, rank: int, size: int) -> Tuple[int, int]:
+    """Contiguous range partition (reference SplatSet partition(rank,size))."""
+    lo = total * rank // size
+    hi = total * (rank + 1) // size
+    return lo, hi
+
+
+class _RangeLimitedSource(SplatSource):
+    """View of a source restricted to a global-id range (for the partitioned
+    blob pass)."""
+
+    def __init__(self, base: SplatSource, lo: int, hi: int):
+        self._base = base
+        self._lo, self._hi = lo, hi
+
+    def __len__(self) -> int:
+        return self._hi - self._lo
+
+    def iter_chunks(self, chunk_size: int = 4 * 1024 * 1024):
+        for start in range(self._lo, self._hi, chunk_size):
+            stop = min(start + chunk_size, self._hi)
+            yield start, self._base.read_ranges([(start, stop)])
+
+    def read_ranges(self, ranges):
+        return self._base.read_ranges(ranges)
+
+
+def distributed_blobs(source: SplatSource, cfg: ReconstructConfig,
+                      transport: Transport) -> BlobInfo:
+    """Partitioned blob pass + allgather merge; every process ends with the
+    identical BlobInfo (P8)."""
+    lo, hi = _partition(len(source), transport.rank, transport.size)
+    part = _RangeLimitedSource(source, lo, hi)
+    local = blobs_mod.compute_blobs(part, cfg.fit_grid, cfg.micro_cells)
+
+    gathered = transport.allgather({
+        "blobs": local.blobs,
+        "ext": local.grid.extents,
+        "nonfinite": local.num_nonfinite,
+        "n": local.num_splats,
+    })
+    blob_arrays = [g["blobs"] for g in gathered]
+    blobs = BlobArray(
+        start=np.concatenate([b.start for b in blob_arrays]),
+        count=np.concatenate([b.count for b in blob_arrays]),
+        lo=np.concatenate([b.lo for b in blob_arrays]),
+        hi=np.concatenate([b.hi for b in blob_arrays]),
+    )
+    exts = np.array([g["ext"] for g in gathered])  # (R, 3, 2)
+    extents = tuple((int(exts[:, a, 0].min()), int(exts[:, a, 1].max()))
+                    for a in range(3))
+    from mlsgpu_tpu.core.grid import Grid
+    grid = Grid.make((0.0, 0.0, 0.0), cfg.fit_grid, extents)
+    micro_lo = blobs.lo.min(axis=0)
+    micro_dims = blobs.hi.max(axis=0) - micro_lo + 1
+    return BlobInfo(blobs=blobs, grid=grid, micro_lo=micro_lo,
+                    micro_dims=micro_dims,
+                    num_splats=sum(g["n"] for g in gathered),
+                    num_nonfinite=sum(g["nonfinite"] for g in gathered))
+
+
+def assign_chunks(buckets: Sequence[bucket_mod.Bucket], size: int
+                  ) -> List[int]:
+    """Deterministic chunk -> rank assignment balancing estimated splats
+    (the static replacement for the reference's pull-model scatter)."""
+    chunk_loads: Dict[tuple, int] = {}
+    for b in buckets:
+        chunk_loads[b.chunk_id.coords] = (
+            chunk_loads.get(b.chunk_id.coords, 0) + b.num_splats)
+    # largest-first greedy onto least-loaded rank (stable order)
+    order = sorted(chunk_loads, key=lambda c: (-chunk_loads[c], c))
+    rank_load = [0] * size
+    owner: Dict[tuple, int] = {}
+    for coords in order:
+        r = int(np.argmin(rank_load))
+        owner[coords] = r
+        rank_load[r] += chunk_loads[coords]
+    return owner
+
+
+def _clump_summary(mesher: OOCMesher):
+    """(keys, key_root_clump, roots, root_nv) for the prune exchange."""
+    keys, clump_ids = mesher.key_clump.items_arrays()
+    key_roots = (mesher.clumps.find_many(clump_ids)
+                 if len(clump_ids) else np.empty(0, np.int64))
+    all_roots = np.unique(mesher.clumps.roots()) if len(mesher.clumps) else \
+        np.empty(0, np.int64)
+    root_nv = mesher.clumps.num_vertices[all_roots] if len(all_roots) else \
+        np.empty(0, np.int64)
+    return keys, key_roots, all_roots, root_nv
+
+
+def global_pruned_roots(mesher: OOCMesher, prune: float,
+                        transport: Transport) -> set:
+    """All-gather clump summaries and compute the globally-consistent pruned
+    set of *local* clump roots."""
+    summaries = transport.allgather(_clump_summary(mesher))
+
+    # Build a union-find over (rank, root) nodes, merged by shared keys.
+    node_id: Dict[tuple, int] = {}
+    sizes: List[int] = []
+
+    def node(rank, root):
+        k = (rank, int(root))
+        if k not in node_id:
+            node_id[k] = len(sizes)
+            sizes.append(0)
+        return node_id[k]
+
+    for r, (keys, key_roots, roots, root_nv) in enumerate(summaries):
+        for root, nv in zip(roots, root_nv):
+            sizes[node(r, root)] = int(nv)
+
+    from mlsgpu_tpu.utils.union_find import UnionFind
+    uf = UnionFind(len(sizes))
+    by_key: Dict[int, int] = {}
+    for r, (keys, key_roots, roots, root_nv) in enumerate(summaries):
+        for k, root in zip(keys, key_roots):
+            n = node(r, root)
+            prev = by_key.setdefault(int(k), n)
+            if prev != n:
+                uf.merge(prev, n)
+    # aggregate sizes per merged component
+    comp_size: Dict[int, int] = {}
+    for nid, sz in enumerate(sizes):
+        root = uf.find(nid)
+        comp_size[root] = comp_size.get(root, 0) + sz
+    total = sum(sizes)
+    threshold = prune * total
+    my_rank = transport.rank
+    pruned = set()
+    for (r, root), nid in node_id.items():
+        if r == my_rank and comp_size[uf.find(nid)] < threshold:
+            pruned.add(root)
+    return pruned
+
+
+def reconstruct_distributed(source: SplatSource, cfg: ReconstructConfig,
+                            output: str, transport: Transport,
+                            writer_factory=None) -> List[str]:
+    """Distributed driver: every process computes the same buckets, runs its
+    chunks, exchanges prune info, writes its own chunk files. Returns this
+    process's output paths."""
+    from mlsgpu_tpu.pipeline.reconstruct import (
+        BlockCaps, block_result_to_input)
+    from mlsgpu_tpu.pipeline.streamer import stream_blocks
+    from mlsgpu_tpu.utils.misc import round_up
+
+    cfg.validate()
+    info = distributed_blobs(source, cfg, transport)
+
+    chunk_cells = cfg.block_cells
+    if cfg.output_split_size:
+        chunk_cells = round_up(
+            int(np.ceil(np.sqrt(cfg.output_split_size / 760.0))),
+            cfg.block_cells)
+    buckets = bucket_mod.make_buckets(
+        info, cfg.block_cells, cfg.micro_cells,
+        max_splats=cfg.max_device_splats, chunk_cells=chunk_cells)
+
+    owner = assign_chunks(buckets, transport.size)
+    mine = [b for b in buckets if owner[b.chunk_id.coords] == transport.rank]
+    log.info(f"rank {transport.rank}: {len(mine)}/{len(buckets)} buckets")
+
+    mesher = OOCMesher(info.grid, prune=cfg.fit_prune)
+    caps = BlockCaps(cfg.tile_candidates, cfg.cell_cap, cfg.vertex_cap,
+                     cfg.index_cap)
+    for bucket, result in stream_blocks(source, info, mine, cfg, caps):
+        mesher.add(block_result_to_input(result, bucket))
+
+    pruned = global_pruned_roots(mesher, cfg.fit_prune, transport)
+    outputs = mesher.write(output, writer_factory=writer_factory,
+                           split_size=cfg.output_split_size or 1,
+                           pruned_override=pruned)
+    mesher.cleanup()
+
+    # statistics merge on rank 0 (doStatistics analogue)
+    stats = get_registry()
+    all_stats = transport.allgather(stats.to_dict())
+    if transport.rank == 0:
+        for d in all_stats[1:]:
+            other = type(stats)()
+            other.load_dict(d)
+            stats.merge(other)
+    return outputs

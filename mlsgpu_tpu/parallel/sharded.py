@@ -45,15 +45,15 @@ def data_parallel_block_step(mesh: Mesh,
                              valid: jnp.ndarray,       # (D, N)
                              region_cells: jnp.ndarray,  # (D, 3)
                              cell_origin: jnp.ndarray,   # (D, 3)
-                             boundary_factor: jnp.ndarray,  # ()
+                             boundary_factor: float = 0.0,
                              **statics) -> BlockResult:
     """Run one block per device in a single SPMD program. Returns a
     BlockResult whose leaves carry a leading device axis."""
     axis = mesh.axis_names[0]
 
     def per_device(s, v, r, o):
-        res = block_step_body(s[0], v[0], r[0], o[0], boundary_factor,
-                              **statics)
+        res = block_step_body(s[0], v[0], r[0], o[0],
+                              float(boundary_factor), **statics)
         # re-attach the device axis so out_specs can shard it
         return jax.tree_util.tree_map(lambda x: x[None], res)
 

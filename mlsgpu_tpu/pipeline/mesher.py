@@ -28,6 +28,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from mlsgpu_tpu._native import KeyMap
 from mlsgpu_tpu.core.chunk import ChunkId
 from mlsgpu_tpu.core.grid import Grid
 from mlsgpu_tpu.io.ply import PlyWriter
@@ -64,15 +65,14 @@ class _ClumpSet(UnionFind):
             [self.num_triangles, np.zeros(count, np.int64)])
         return start
 
-    def on_merge(self, root: int, child: int) -> None:
-        self.num_vertices[root] += self.num_vertices[child]
-        self.num_triangles[root] += self.num_triangles[child]
+    def _meta_arrays(self):
+        return [self.num_vertices, self.num_triangles]
 
 
 @dataclass
 class _ChunkRecord:
     chunk_id: ChunkId
-    key_index: Dict[int, int] = field(default_factory=dict)
+    key_index: KeyMap = field(default_factory=KeyMap)
     num_vertices: int = 0
     num_triangles: int = 0
     # byte offsets of this chunk's segments in the spill files
@@ -90,7 +90,7 @@ class OOCMesher:
         self.grid = grid
         self.prune = prune
         self.clumps = _ClumpSet()
-        self.key_clump: Dict[int, int] = {}
+        self.key_clump = KeyMap()
         self.chunks: Dict[ChunkId, _ChunkRecord] = {}
         self._vert_path = create_tmp_file("mlsgpu_tpu.verts.")
         self._tri_path = create_tmp_file("mlsgpu_tpu.tris.")
@@ -132,44 +132,43 @@ class OOCMesher:
         np.add.at(self.clumps.num_triangles, tri_clump, 1)
 
         # 3. Merge clumps across blocks via shared external keys
-        # (updateClumpKeyMap, src/mesher.cpp:280).
-        for i, key in enumerate(keys):
-            k = int(key)
-            cid = int(vert_clump[first_ext + i])
-            prev = self.key_clump.setdefault(k, cid)
-            if prev != cid:
-                self.clumps.merge(prev, cid)
+        # (updateClumpKeyMap, src/mesher.cpp:280) — one batch get-or-insert
+        # plus a batch union of the duplicates.
+        if len(keys):
+            ext_clumps = vert_clump[first_ext:]
+            prev, was_new = self.key_clump.get_or_insert(keys, ext_clumps)
+            dup = ~was_new & (prev != ext_clumps)
+            if dup.any():
+                self.clumps.merge_pairs(prev[dup], ext_clumps[dup])
 
         # 4. Spill vertices/triangles, deduplicating externals within the
-        # output chunk (updateLocalClumps / reorder buffer).
-        rec = self.chunks.get(block.chunk_id)
+        # output chunk (updateLocalClumps / reorder buffer). Chunk identity
+        # is the coordinate triple; the generation number only orders writes
+        # (reference ChunkId semantics, src/chunk_id.h:41-88).
+        rec = self.chunks.get(block.chunk_id.coords)
         if rec is None:
-            rec = self.chunks[block.chunk_id] = _ChunkRecord(block.chunk_id)
+            rec = self.chunks[block.chunk_id.coords] = _ChunkRecord(block.chunk_id)
 
         # Which vertices get written: all internals + unseen-key externals.
         write_mask = np.ones(n, dtype=bool)
         remap = np.empty(n, dtype=np.int64)
-        ext_existing_idx = np.empty(n - first_ext, dtype=np.int64)
-        new_flags = np.zeros(n - first_ext, dtype=bool)
-        ki = rec.key_index
-        for i, key in enumerate(keys):
-            k = int(key)
-            idx = ki.get(k, -1)
-            if idx < 0:
-                new_flags[i] = True
-            else:
-                ext_existing_idx[i] = idx
+        if len(keys):
+            existing = rec.key_index.lookup(keys)
+            new_flags = existing < 0
+        else:
+            existing = np.empty(0, np.int64)
+            new_flags = np.zeros(0, dtype=bool)
         write_mask[first_ext:] = new_flags
 
         n_new = int(write_mask.sum())
         new_ids = rec.num_vertices + np.arange(n_new, dtype=np.int64)
         remap[write_mask] = new_ids
         remap[~write_mask] = 0  # placeholder, fixed below
-        not_new = np.nonzero(~new_flags)[0]
-        remap[first_ext + not_new] = ext_existing_idx[not_new]
+        remap[first_ext:][~new_flags] = existing[~new_flags]
         # register newly-written external keys
-        for i in np.nonzero(new_flags)[0]:
-            ki[int(keys[i])] = int(remap[first_ext + i])
+        if new_flags.any():
+            rec.key_index.get_or_insert(keys[new_flags],
+                                        remap[first_ext:][new_flags])
 
         # vertex records: xyz float32 bits + clump id in a uint32 lane
         vrec_bytes = np.empty((n_new, 4), dtype=np.uint32)
@@ -215,14 +214,21 @@ class OOCMesher:
                 if self.clumps.num_vertices[r] < threshold}
 
     def write(self, path: str, writer_factory=None, comments=None,
-              split_size: int = 0, progress=None) -> List[str]:
+              split_size: int = 0, progress=None,
+              pruned_override: Optional[set] = None) -> List[str]:
         """Final output pass (src/mesher.cpp:763-852). One PLY per chunk when
-        there are multiple chunks (--split), else a single file."""
+        there are multiple chunks (--split), else a single file.
+
+        pruned_override supplies an externally-computed pruned clump-root
+        set (the distributed path computes it globally across hosts)."""
         self._finalize()
         writer_factory = writer_factory or (lambda: PlyWriter(comments=comments))
-        pruned = self._pruned_roots()
+        pruned = (pruned_override if pruned_override is not None
+                  else self._pruned_roots())
         chunk_ids = sorted(self.chunks.keys())
-        multi = len(chunk_ids) > 1 and split_size != 0
+        # --split always emits coordinate-suffixed chunk files (even a single
+        # chunk), so concurrent distributed writers never collide on `path`.
+        multi = split_size != 0
 
         vfile = open(self._vert_path, "rb")
         tfile = open(self._tri_path, "rb")
@@ -230,7 +236,7 @@ class OOCMesher:
         try:
             if multi:
                 for cid in chunk_ids:
-                    cpath = self._chunk_path(path, cid)
+                    cpath = self._chunk_path(path, self.chunks[cid].chunk_id)
                     self._write_chunk(cpath, [self.chunks[cid]],
                                       vfile, tfile, pruned, writer_factory,
                                       comments, progress)

@@ -47,14 +47,14 @@ class BlockCaps:
 
 def prepare_block_inputs(splats: np.ndarray, bucket: bucket_mod.Bucket,
                          grid, pad_to: Optional[int] = None):
-    """Convert world-frame splats to padded block-local device inputs."""
+    """Convert world-frame splats to padded device inputs in the global grid
+    frame (blocks never re-center splats on the host: block-dependent f32
+    rounding would break cross-block determinism; see ops/mls.py)."""
     arr = SplatArray(splats)
     grid_form = arr.to_grid_frame(grid)
     # to_grid_frame put 1/r^2 in col 3; the device step wants the radius
     # (binning computes 1/r^2 itself), so recompute in grid units.
     grid_form[:, 3] = splats[:, 3] / np.float32(grid.spacing)
-    origin = bucket.cell_lo.astype(np.float32)
-    grid_form[:, 0:3] -= origin
 
     n = len(grid_form)
     npad = pad_to if pad_to is not None else next_pow2(n)
@@ -77,18 +77,21 @@ def run_block(splats_padded: np.ndarray, valid: np.ndarray,
         splats=splats_padded, valid=valid,
         region_cells=jax.numpy.asarray(region),
         cell_origin=jax.numpy.asarray(bucket.cell_lo.astype(np.int32)),
-        boundary_factor=jax.numpy.float32(cfg.boundary_factor),
     )
     if device is not None:
         args = {k: jax.device_put(v, device) for k, v in args.items()}
 
+    from mlsgpu_tpu.ops.block import resolve_mls_backend
+    backend = resolve_mls_backend(getattr(cfg, "mls_backend", "auto"))
     while True:
         result = block_step(
             **args,
+            boundary_factor=float(cfg.boundary_factor),
             levels=cfg.levels, subsampling=cfg.subsampling,
             max_candidates=caps.max_candidates,
             cell_cap=caps.cell_cap, vertex_cap=caps.vertex_cap,
-            index_cap=caps.index_cap, fit_shape=cfg.fit_shape)
+            index_cap=caps.index_cap, fit_shape=cfg.fit_shape,
+            mls_backend=backend)
         mt = int(result.max_tile_candidates)
         nc = int(result.num_cells)
         nuw = int(result.num_unwelded)
@@ -113,6 +116,16 @@ def run_block(splats_padded: np.ndarray, valid: np.ndarray,
                  f"verts={nuw}, inds={ni}); retrying with larger caps")
 
 
+def _fetch_prefix(arr, n: int) -> np.ndarray:
+    """Transfer only the live prefix of a capped device buffer, padded to a
+    power of two so the device slice program is reused (the analogue of the
+    reference's sized enqueueReadMesh, src/mesh.h:141-179)."""
+    if n <= 0:
+        return np.empty((0,) + arr.shape[1:], dtype=arr.dtype)
+    m = min(next_pow2(n), arr.shape[0])
+    return np.asarray(arr[:m])[:n]
+
+
 def block_result_to_input(result: BlockResult, bucket: bucket_mod.Bucket
                           ) -> BlockInput:
     """Device -> host adaptation (the reference's mesh readback +
@@ -120,11 +133,11 @@ def block_result_to_input(result: BlockResult, bucket: bucket_mod.Bucket
     nv = int(result.num_vertices)
     ni = int(result.num_indices)
     fe = int(result.first_external)
-    verts = np.asarray(result.vertices)[:nv]
+    verts = _fetch_prefix(result.vertices, nv)
     verts = verts + bucket.cell_lo.astype(np.float32)  # block -> grid frame
-    tris = np.asarray(result.triangles)[:ni // 3]
-    hi = np.asarray(result.key_hi)[fe:nv].astype(np.int64)
-    lo = np.asarray(result.key_lo)[fe:nv].astype(np.int64)
+    tris = _fetch_prefix(result.triangles, ni // 3)
+    hi = _fetch_prefix(result.key_hi, nv)[fe:].astype(np.int64)
+    lo = _fetch_prefix(result.key_lo, nv)[fe:].astype(np.int64)
     keys = ((hi & 0x7FFFFFFF) << 32) | lo
     return BlockInput(chunk_id=bucket.chunk_id, vertices=verts,
                       first_external=fe, ext_keys=keys, triangles=tris)

@@ -43,6 +43,7 @@ def _pick_devices(num: int) -> List:
 
 
 def _dispatch(padded, valid, bucket, cfg, caps, device) -> BlockResult:
+    from mlsgpu_tpu.ops.block import resolve_mls_backend
     args = dict(
         splats=jax.device_put(padded, device),
         valid=jax.device_put(valid, device),
@@ -50,15 +51,15 @@ def _dispatch(padded, valid, bucket, cfg, caps, device) -> BlockResult:
             np.asarray(bucket.cell_hi - bucket.cell_lo, np.int32), device),
         cell_origin=jax.device_put(
             np.asarray(bucket.cell_lo, np.int32), device),
-        boundary_factor=jax.device_put(
-            np.float32(cfg.boundary_factor), device),
     )
     return block_step(
         **args,
+        boundary_factor=float(cfg.boundary_factor),
         levels=cfg.levels, subsampling=cfg.subsampling,
         max_candidates=caps.max_candidates,
         cell_cap=caps.cell_cap, vertex_cap=caps.vertex_cap,
-        index_cap=caps.index_cap, fit_shape=cfg.fit_shape)
+        index_cap=caps.index_cap, fit_shape=cfg.fit_shape,
+        mls_backend=resolve_mls_backend(getattr(cfg, "mls_backend", "auto")))
 
 
 def _check_overflow(result: BlockResult, caps) -> bool:

@@ -11,10 +11,20 @@ from __future__ import annotations
 import numpy as np
 
 
+def _native():
+    try:
+        from mlsgpu_tpu import _native as nat
+        return nat if nat.available() else None
+    except Exception:
+        return None
+
+
 class UnionFind:
     """Union-find over n elements with per-root size metadata.
 
-    merge() hooks can be layered by subclassing and overriding on_merge(root, child).
+    Subclasses add root-accumulated metadata by overriding _meta_arrays()
+    (the reference's node-metadata merge hook, src/union_find.h:51-212).
+    Batch operations use the native C++ implementation when available.
     """
 
     def __init__(self, n: int):
@@ -41,9 +51,18 @@ class UnionFind:
             parent[x], x = root, parent[x]
         return int(root)
 
+    def _meta_arrays(self):
+        """int64 arrays accumulated into the root on every merge."""
+        return []
+
     def find_many(self, xs: np.ndarray) -> np.ndarray:
         """Vectorized find: repeatedly map through parent until fixpoint,
         then compress."""
+        nat = _native()
+        if nat is not None:
+            out = nat.uf_find_many(self.parent, xs)
+            if out is not None:
+                return out
         parent = self.parent
         roots = np.asarray(xs, dtype=np.int64)
         while True:
@@ -55,7 +74,9 @@ class UnionFind:
         return roots
 
     def on_merge(self, root: int, child: int) -> None:
-        """Hook: called after child's tree is attached under root."""
+        """Called after child's tree is attached under root."""
+        for m in self._meta_arrays():
+            m[root] += m[child]
 
     def merge(self, a: int, b: int) -> int:
         """Union the sets of a and b; returns the new root."""
@@ -75,6 +96,10 @@ class UnionFind:
         per round (O(E * alpha-ish rounds) in practice)."""
         a = np.asarray(a, dtype=np.int64)
         b = np.asarray(b, dtype=np.int64)
+        nat = _native()
+        if nat is not None and nat.uf_merge_pairs(
+                self.parent, self.size, self._meta_arrays(), a, b):
+            return
         while len(a):
             ra = self.find_many(a)
             rb = self.find_many(b)
@@ -97,6 +122,8 @@ class UnionFind:
             ok = ~is_child[root]
             child, root = child[ok], root[ok]
             np.add.at(self.size, root, self.size[child])
+            for m in self._meta_arrays():
+                np.add.at(m, root, m[child])
             self.parent[child] = root
             a, b = ra, rb  # re-examine remaining links next round
 

@@ -108,11 +108,12 @@ class TestFieldEval:
         splats = jnp.asarray(splats_np)
         valid = jnp.ones(n, dtype=bool)
         min_s, max_s = self.SUB, self.LEVELS + self.SUB - 1
-        binned = binning.bin_splats(splats, valid, min_s, max_s)
+        origin = jnp.zeros(3, jnp.int32)
+        binned = binning.bin_splats(splats, valid, origin, min_s, max_s)
         tpa = 1 << (max_s - 3)
         starts, lens = binning.tile_segments(binned.entry_keys, min_s, max_s, tpa)
         field, max_total = mls.eval_field(
-            binned.entry_data, starts, lens, tpa, K, fit,
+            binned.entry_data, starts, lens, origin, tpa, K, fit,
             jnp.float32(bf), tile_chunk=8)
         assert int(max_total) <= K
         return np.asarray(field)
@@ -184,8 +185,10 @@ class TestFieldEval:
         splats = oracle.sphere_cloud([16, 16, 16], 8.0, 2000, 2.0, rng)
         splats_j = jnp.asarray(splats)
         valid = jnp.ones(len(splats), dtype=bool)
-        binned = binning.bin_splats(splats_j, valid, 3, 5)
+        origin = jnp.zeros(3, jnp.int32)
+        binned = binning.bin_splats(splats_j, valid, origin, 3, 5)
         starts, lens = binning.tile_segments(binned.entry_keys, 3, 5, 4)
-        _, max_total = mls.eval_field(binned.entry_data, starts, lens, 4,
-                                      16, "sphere", jnp.float32(0.0), tile_chunk=8)
+        _, max_total = mls.eval_field(binned.entry_data, starts, lens, origin,
+                                      4, 16, "sphere", jnp.float32(0.0),
+                                      tile_chunk=8)
         assert int(max_total) > 16  # host would retry with larger K

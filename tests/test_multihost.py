@@ -1,0 +1,157 @@
+"""Distributed (multi-host analogue) tests using threaded local ranks —
+the counterpart of the reference's mpirun-on-one-machine MPI suite
+(test/mpi/*, wscript:543-551)."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from mlsgpu_tpu.config import ReconstructConfig
+from mlsgpu_tpu.io import ply
+from mlsgpu_tpu.io.splat_set import SequenceSource
+from mlsgpu_tpu.parallel.multihost import (
+    LocalTransport, assign_chunks, distributed_blobs,
+    reconstruct_distributed)
+from mlsgpu_tpu.pipeline import blobs as blobs_mod
+from mlsgpu_tpu.pipeline.reconstruct import reconstruct
+from mlsgpu_tpu.utils.manifold import check_manifold
+
+from tests import oracle
+from tests.test_reconstruct import small_config
+
+CENTER = np.array([0.7, -0.3, 0.2])
+RADIUS = 3.0
+
+
+def run_ranks(size, fn):
+    """Run fn(transport) on `size` threaded ranks; returns per-rank results.
+    Any rank exception is re-raised."""
+    transports = LocalTransport.make(size)
+    results = [None] * size
+    errors = []
+
+    def runner(r):
+        try:
+            results[r] = fn(transports[r])
+        except BaseException as e:  # noqa
+            errors.append(e)
+            # release peers stuck on the barrier
+            transports[r]._shared["barrier"].abort()
+
+    threads = [threading.Thread(target=runner, args=(r,)) for r in range(size)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+    return results
+
+
+def make_source(n=20000, sr=0.25, seed=21):
+    rng = np.random.default_rng(seed)
+    return SequenceSource(oracle.sphere_cloud(CENTER, RADIUS, n, sr, rng))
+
+
+class TestDistributedBlobs:
+    def test_matches_single_process(self):
+        src = make_source(5000)
+        cfg = small_config()
+        single = blobs_mod.compute_blobs(src, cfg.fit_grid, cfg.micro_cells)
+
+        def fn(tr):
+            return distributed_blobs(src, cfg, tr)
+
+        infos = run_ranks(3, fn)
+        for info in infos:
+            assert info.num_splats == single.num_splats
+            assert info.grid.extents == single.grid.extents
+            # same per-splat coverage (blob boundaries may differ at
+            # partition edges, so compare expanded ranges)
+            np.testing.assert_array_equal(info.micro_lo, single.micro_lo)
+            assert info.blobs.num_splats == single.blobs.num_splats
+
+
+def test_assign_chunks_balances():
+    from mlsgpu_tpu.core.chunk import ChunkId
+    from mlsgpu_tpu.pipeline.bucket import Bucket
+    buckets = []
+    for i in range(8):
+        buckets.append(Bucket(
+            chunk_id=ChunkId(gen=i % 4, coords=(i % 4, 0, 0)),
+            cell_lo=np.zeros(3, np.int64), cell_hi=np.ones(3, np.int64),
+            blob_ids=np.zeros(0, np.int64), num_splats=100 * (i % 4 + 1)))
+    owner = assign_chunks(buckets, 2)
+    assert set(owner.values()) == {0, 1}
+    # same chunk -> same owner
+    assert len(owner) == 4
+
+
+@pytest.mark.slow
+class TestDistributedReconstruct:
+    def test_matches_single_host_chunked(self, tmp_path):
+        """2-rank distributed run produces the same chunk files (same vertex/
+        triangle counts per chunk) as a single-host chunked run."""
+        src = make_source()
+        cfg_single = small_config(output_split_size=100_000)
+        out_s = str(tmp_path / "single.ply")
+        single_files = reconstruct(src, cfg_single, out_s)
+        assert len(single_files) > 1
+
+        def fn(tr):
+            cfg = small_config(output_split_size=100_000)
+            return reconstruct_distributed(
+                src, cfg, str(tmp_path / "dist.ply"), tr)
+
+        rank_files = run_ranks(2, fn)
+        all_files = sorted(f for fs in rank_files for f in fs)
+        assert len(all_files) == len(single_files)
+        # ranks own disjoint chunks
+        assert len(set(all_files)) == len(all_files)
+
+        def summary(files):
+            import os
+            out = {}
+            for f in files:
+                v, t = ply.read_mesh(f)
+                name = os.path.basename(f)  # e.g. single_0000_0001_0000.ply
+                key = name.split("_", 1)[1]
+                out[key] = (len(v), len(t))
+            return out
+
+        s = summary(single_files)
+        d = summary(all_files)
+        assert s == d
+        for f in all_files:
+            v, t = ply.read_mesh(f)
+            rep = check_manifold(v, t)
+            assert rep.is_manifold, rep.reason
+
+    def test_global_pruning_consistent(self, tmp_path):
+        """A component spanning two ranks' chunks must be sized globally:
+        neither rank prunes it, while genuinely small debris is pruned by
+        whichever rank owns it."""
+        rng = np.random.default_rng(33)
+        main = oracle.sphere_cloud(CENTER, RADIUS, 20000, 0.25, rng)
+        # a tiny, separate blob of splats far away in +x: small component
+        debris = oracle.sphere_cloud(CENTER + [7.0, 0, 0], 0.35, 600, 0.18, rng)
+        src = SequenceSource(np.concatenate([main, debris]))
+
+        def fn(tr):
+            cfg = small_config(output_split_size=100_000, fit_prune=0.1)
+            return reconstruct_distributed(
+                src, cfg, str(tmp_path / "p.ply"), tr)
+
+        rank_files = run_ranks(2, fn)
+        all_v = []
+        for fs in rank_files:
+            for f in fs:
+                v, t = ply.read_mesh(f)
+                all_v.append(v)
+        verts = np.concatenate([v for v in all_v if len(v)])
+        # debris pruned: nothing near x ~ 7
+        assert verts[:, 0].max() < CENTER[0] + RADIUS + 1.0
+        # main sphere intact across chunks
+        r = np.linalg.norm(verts - CENTER, axis=1)
+        assert abs(np.median(r) - RADIUS) < 0.08
