@@ -81,10 +81,9 @@ def main():
         "vs_baseline": round(msplats / BASELINE_MSPLATS, 3),
     }
     print(json.dumps(result))
-    for line in [
-        f"# elapsed {elapsed:.2f}s for {N_SPLATS} splats -> {files}",
-    ]:
-        print(line, file=sys.stderr)
+    print(f"# elapsed {elapsed:.2f}s for {N_SPLATS} splats -> {files}",
+          file=sys.stderr)
+    get_registry().dump(sys.stderr)
 
 
 if __name__ == "__main__":

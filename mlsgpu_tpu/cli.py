@@ -24,7 +24,8 @@ def build_parser() -> argparse.ArgumentParser:
     d = ReconstructConfig()
     p = argparse.ArgumentParser(
         prog="mlsgpu_tpu",
-        description="TPU-native MLS surface reconstruction from point clouds")
+        description="TPU-native MLS surface reconstruction from point clouds",
+        fromfile_prefix_chars="@")  # @file = the reference's --response-file
     p.add_argument("inputs", nargs="*", help="input PLY files")
     p.add_argument("-o", "--output-file", required=True, help="output PLY file")
     p.add_argument("--version", action="version", version=f"mlsgpu_tpu {__version__}")
@@ -63,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--resume", help="resume from checkpoint PATH (write only)")
     a.add_argument("--tmp-dir", help="directory for temporary spill files")
     a.add_argument("--reader", choices=["syscall", "mmap"], default="syscall")
+    a.add_argument("--mls-backend", choices=["auto", "xla", "pallas"],
+                   default="auto", help="MLS kernel implementation")
+    a.add_argument("--decache", action="store_true",
+                   help="evict inputs from the page cache first (cold-cache runs)")
 
     o = p.add_argument_group("observability")
     o.add_argument("--statistics", action="store_true",
@@ -91,6 +96,8 @@ def config_from_args(args) -> ReconstructConfig:
         device_threads=args.device_threads,
         num_devices=args.num_devices,
         output_split_size=args.split_size,
+        mls_backend=args.mls_backend,
+        decache=args.decache,
         checkpoint=args.checkpoint,
         resume=args.resume,
         tmp_dir=args.tmp_dir,
@@ -104,13 +111,23 @@ def config_from_args(args) -> ReconstructConfig:
 def _enable_compile_cache() -> None:
     """Persistent XLA compilation cache: the block step compiles once per
     padded-shape/cap combination; caching makes reruns and cap-growth
-    retries near-free."""
+    retries near-free. (This jax build ignores the env vars, so set the
+    config directly.)"""
     import os
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+    import jax
+    if jax.default_backend() == "cpu":
+        # Serializing CPU executables segfaults in this jaxlib; CPU compiles
+        # are comparatively cheap anyway.
+        return
+    path = os.environ.get("JAX_COMPILATION_CACHE_DIR",
                           os.path.expanduser("~/.cache/mlsgpu_tpu/jax"))
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-    os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -134,9 +151,13 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     from mlsgpu_tpu.io.splat_set import FileSource
     from mlsgpu_tpu.pipeline.reconstruct import reconstruct, resume
+    from mlsgpu_tpu.pipeline.resources import validate_device
+    from mlsgpu_tpu.utils import provenance
+    from mlsgpu_tpu.utils.diskstats import DiskUsage
 
     start = time.monotonic()
     stats = get_registry()
+    comments = provenance.comments()
     try:
         if args.resume:
             outputs = resume(args.resume, cfg, args.output_file)
@@ -144,11 +165,19 @@ def main(argv: Optional[List[str]] = None) -> int:
             if not args.inputs:
                 print("error: no input files", file=sys.stderr)
                 return 2
+            validate_device(cfg)
+            if cfg.decache:
+                from mlsgpu_tpu.io.decache import decache_all
+                decache_all(args.inputs)
             source = FileSource(args.inputs, smooth=cfg.fit_smooth,
                                 max_radius=cfg.max_radius,
                                 reader_type=args.reader)
             try:
-                outputs = reconstruct(source, cfg, args.output_file)
+                from mlsgpu_tpu.io.ply import PlyWriter
+                with DiskUsage():
+                    outputs = reconstruct(
+                        source, cfg, args.output_file,
+                        writer_factory=lambda: PlyWriter(comments=comments))
             finally:
                 source.close()
     except (MlsError, OSError) as e:

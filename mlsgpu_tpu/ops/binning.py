@@ -150,8 +150,10 @@ def tile_segments(entry_keys: jnp.ndarray, min_shift: int, max_shift: int,
         # morton(t) >> 3k == morton(t >> k): ancestor node code by shifting.
         node = code >> jnp.uint32(3 * (tile_shift + li))
         key = offs[li] + node
-        s = jnp.searchsorted(entry_keys, key, side="left")
-        e = jnp.searchsorted(entry_keys, key + jnp.uint32(1), side="left")
+        # method='sort' vectorizes on TPU (the default scan is serial-ish)
+        s = jnp.searchsorted(entry_keys, key, side="left", method="sort")
+        e = jnp.searchsorted(entry_keys, key + jnp.uint32(1), side="left",
+                             method="sort")
         starts.append(s.astype(jnp.int32))
         lens.append((e - s).astype(jnp.int32))
     return jnp.stack(starts, axis=1), jnp.stack(lens, axis=1)

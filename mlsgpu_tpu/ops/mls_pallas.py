@@ -40,7 +40,8 @@ from mlsgpu_tpu.ops.mls import TILE, TILE_CORNERS
 CHUNK = 128  # candidates staged per DMA window (reference MAX_BUCKET=256)
 
 
-def _kernel(seg_starts_ref, seg_lens_ref, origin_ref,   # scalar prefetch
+def _kernel(origin_ref,                                 # scalar prefetch (3,)
+            seg_starts_ref, seg_lens_ref,               # SMEM (1, L) per tile
             entry_ref,                                  # HBM (8, Epad)
             out_ref,                                    # VMEM (1, 8, 64)
             buf_ref, sem,                               # scratch
@@ -50,10 +51,11 @@ def _kernel(seg_starts_ref, seg_lens_ref, origin_ref,   # scalar prefetch
     tz = t // (tpa * tpa)
     ty = (t // tpa) % tpa
     tx = t % tpa
+    row = t % 8  # segment tables arrive in 8-tile SMEM blocks (tiling rule)
 
     total = jnp.int32(0)
     for li in range(levels):
-        total = total + seg_lens_ref[t, li]
+        total = total + seg_lens_ref[row, li]
 
     @pl.when(total == 0)
     def _():
@@ -122,8 +124,8 @@ def _kernel(seg_starts_ref, seg_lens_ref, origin_ref,   # scalar prefetch
                 preferred_element_type=jnp.float32)
 
         for li in range(levels):  # static unroll over octree levels
-            start = seg_starts_ref[t, li]
-            ln = seg_lens_ref[t, li]
+            start = seg_starts_ref[row, li]
+            ln = seg_lens_ref[row, li]
             w0 = start // CHUNK
             w1 = (start + ln + CHUNK - 1) // CHUNK
 
@@ -177,9 +179,18 @@ def eval_field_pallas(entry_data: jnp.ndarray,
     entry_t = entry_t.at[:, :e].set(entry_data.T)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        # Only the 3-int origin is scalar-prefetched; the (T, L) segment
+        # tables would blow SMEM at 256^3 blocks, so they stream in as
+        # per-tile SMEM blocks instead.
+        num_scalar_prefetch=1,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[
+            pl.BlockSpec((8, levels), lambda t, *_: (t // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, levels), lambda t, *_: (t // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
         # (1, 8, 64) satisfies the TPU tiling rule (trailing dims equal the
         # array's); 8*64 = one 512-corner tile per grid step.
         out_specs=pl.BlockSpec((1, 8, 64), lambda t, *_: (t, 0, 0),
@@ -199,8 +210,8 @@ def eval_field_pallas(entry_data: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, 8, 64), jnp.float32),
         interpret=interpret,
-    )(seg_starts.astype(jnp.int32), seg_lens.astype(jnp.int32),
-      cell_origin.astype(jnp.int32), entry_t)
+    )(cell_origin.astype(jnp.int32),
+      seg_starts.astype(jnp.int32), seg_lens.astype(jnp.int32), entry_t)
 
     f = f.reshape(tpa, tpa, tpa, TILE, TILE, TILE)
     field = f.transpose(0, 3, 1, 4, 2, 5).reshape(

@@ -12,13 +12,22 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
-# Persistent compilation cache: recompiles across test runs are the dominant
-# cost on small hosts.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-
 import jax  # noqa: E402
 
 if os.environ.get("MLSGPU_TPU_TEST_BACKEND", "cpu") == "cpu":
     jax.config.update("jax_platforms", "cpu")
+
+# NOTE: do not enable the persistent compilation cache here — serializing
+# CPU executables segfaults in this jaxlib (zstandard path). The CLI enables
+# it for TPU runs only (cli._enable_compile_cache).
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches():
+    """XLA-CPU compilation in this jaxlib segfaults sporadically once a
+    process accumulates many large compiled executables; dropping them
+    between test modules keeps the suite stable."""
+    yield
+    jax.clear_caches()

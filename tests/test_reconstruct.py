@@ -146,3 +146,12 @@ class TestEndToEnd:
         out = str(tmp_path / "plane_fit.ply")
         reconstruct(make_sphere_source(), cfg, out)
         check_sphere_output(out)
+
+
+@pytest.fixture(autouse=True)
+def _clear_caches_each_test():
+    """XLA-CPU in this jaxlib segfaults sporadically when a process holds
+    many large compiled executables; drop them after every e2e test."""
+    yield
+    import jax
+    jax.clear_caches()

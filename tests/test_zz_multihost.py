@@ -155,3 +155,10 @@ class TestDistributedReconstruct:
         # main sphere intact across chunks
         r = np.linalg.norm(verts - CENTER, axis=1)
         assert abs(np.median(r) - RADIUS) < 0.08
+
+
+@pytest.fixture(autouse=True)
+def _clear_caches_each_test():
+    yield
+    import jax
+    jax.clear_caches()
