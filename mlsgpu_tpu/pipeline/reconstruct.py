@@ -130,14 +130,17 @@ def block_result_to_input(result: BlockResult, bucket: bucket_mod.Bucket
                           ) -> BlockInput:
     """Device -> host adaptation (the reference's mesh readback +
     MesherGroup hand-off)."""
-    nv = int(result.num_vertices)
-    ni = int(result.num_indices)
-    fe = int(result.first_external)
-    verts = _fetch_prefix(result.vertices, nv)
+    stats = get_registry()
+    with stats.timer("readback.counts"):
+        nv = int(result.num_vertices)
+        ni = int(result.num_indices)
+        fe = int(result.first_external)
+    with stats.timer("readback.mesh"):
+        verts = _fetch_prefix(result.vertices, nv)
+        tris = _fetch_prefix(result.triangles, ni // 3)
+        hi = _fetch_prefix(result.key_hi, nv)[fe:].astype(np.int64)
+        lo = _fetch_prefix(result.key_lo, nv)[fe:].astype(np.int64)
     verts = verts + bucket.cell_lo.astype(np.float32)  # block -> grid frame
-    tris = _fetch_prefix(result.triangles, ni // 3)
-    hi = _fetch_prefix(result.key_hi, nv)[fe:].astype(np.int64)
-    lo = _fetch_prefix(result.key_lo, nv)[fe:].astype(np.int64)
     keys = ((hi & 0x7FFFFFFF) << 32) | lo
     return BlockInput(chunk_id=bucket.chunk_id, vertices=verts,
                       first_external=fe, ext_keys=keys, triangles=tris)

@@ -143,7 +143,8 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
             b, padded, valid = item
             device = devices[dev_idx % len(devices)]
             dev_idx += 1
-            result = _dispatch(padded, valid, b, cfg, caps, device)
+            with stats.timer("streamer.dispatch"):
+                result = _dispatch(padded, valid, b, cfg, caps, device)
             inflight.append((b, padded, valid, result, device))
             if len(inflight) > window:
                 yield force(inflight.popleft())
