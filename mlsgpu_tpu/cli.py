@@ -69,6 +69,15 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--decache", action="store_true",
                    help="evict inputs from the page cache first (cold-cache runs)")
 
+    m = p.add_argument_group(
+        "distributed (the reference's mlsgpu-mpi interface, mlsgpu-mpi.cpp)")
+    m.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="jax.distributed coordinator address (process 0)")
+    m.add_argument("--num-processes", type=int, default=1,
+                   help="total processes in the multi-host run [%(default)s]")
+    m.add_argument("--process-id", type=int, default=0,
+                   help="this process's rank [%(default)s]")
+
     o = p.add_argument_group("observability")
     o.add_argument("--statistics", action="store_true",
                    help="print statistics at exit")
@@ -175,9 +184,22 @@ def main(argv: Optional[List[str]] = None) -> int:
             try:
                 from mlsgpu_tpu.io.ply import PlyWriter
                 with DiskUsage():
-                    outputs = reconstruct(
-                        source, cfg, args.output_file,
-                        writer_factory=lambda: PlyWriter(comments=comments))
+                    if args.num_processes > 1:
+                        from mlsgpu_tpu.parallel.multihost import (
+                            init_distributed, reconstruct_distributed)
+                        transport = init_distributed(
+                            coordinator=args.coordinator,
+                            num_processes=args.num_processes,
+                            process_id=args.process_id)
+                        outputs = reconstruct_distributed(
+                            source, cfg, args.output_file, transport,
+                            writer_factory=lambda: PlyWriter(
+                                comments=comments))
+                    else:
+                        outputs = reconstruct(
+                            source, cfg, args.output_file,
+                            writer_factory=lambda: PlyWriter(
+                                comments=comments))
             finally:
                 source.close()
     except (MlsError, OSError) as e:

@@ -223,6 +223,15 @@ class PlyWriter:
         self._writer.write(0, header)
         self._open = True
 
+    def vertex_byte_offset(self, first: int) -> int:
+        """Absolute file offset of vertex record `first` (for external
+        writers, e.g. AsyncWriter jobs against the raw BinaryWriter)."""
+        return self._vertex_start + first * self.VERTEX_SIZE
+
+    def triangle_byte_offset(self, first: int) -> int:
+        return (self._vertex_start + self._num_vertices * self.VERTEX_SIZE
+                + first * self.TRIANGLE_SIZE)
+
     def write_vertices(self, first: int, vertices: np.ndarray) -> None:
         data = np.ascontiguousarray(vertices, dtype="<f4")
         self._writer.write(self._vertex_start + first * self.VERTEX_SIZE,

@@ -1,0 +1,184 @@
+"""Append-only spill store with an in-memory window and async disk flush.
+
+The TPU build's analogue of the reference's mesher reorder buffer plus
+TmpWriterWorkerGroup (src/mesher.h:514-620, --mem-reorder): producers append
+record batches and get back stable byte offsets; data stays in RAM up to a
+byte budget, beyond which a background thread streams the oldest buffers to
+an unlinked temp file. Reads (the final write pass) see a consistent view
+across the disk/memory boundary. Appends block when the in-memory window is
+full and the flusher is behind (CircularBuffer-style backpressure).
+"""
+
+from __future__ import annotations
+
+import bisect
+import os
+import queue
+import threading
+from typing import List, Optional
+
+from mlsgpu_tpu.utils.misc import create_tmp_file
+from mlsgpu_tpu.utils.statistics import get_registry
+
+
+class SpillStore:
+    def __init__(self, prefix: str, mem_budget: int = 1 << 30):
+        self._path = create_tmp_file(prefix)
+        self._file = open(self._path, "r+b")
+        self._budget = int(mem_budget)
+        self._lock = threading.Condition()
+        self._mem: List[bytes] = []        # pending buffers, append order
+        self._mem_offsets: List[int] = []  # start offset of each buffer
+        self._mem_bytes = 0
+        self._disk_end = 0                 # all bytes < this are on disk
+        self._end = 0                      # total bytes appended
+        self._error: Optional[BaseException] = None
+        self._closed = False
+        self._flusher: Optional[threading.Thread] = None
+        self._stats = get_registry()
+
+    @property
+    def path(self) -> str:
+        return self._path
+
+    def size(self) -> int:
+        return self._end
+
+    # ------------------------------------------------------------- producer
+    def append(self, data) -> int:
+        """Append bytes (or a numpy array's raw bytes); returns the offset."""
+        data = data.tobytes() if hasattr(data, "tobytes") else bytes(data)
+        with self._lock:
+            if self._error:
+                raise self._error
+            off = self._end
+            self._mem.append(data)
+            self._mem_offsets.append(off)
+            self._mem_bytes += len(data)
+            self._end += len(data)
+            if self._mem_bytes > self._budget and self._flusher is None:
+                self._flusher = threading.Thread(
+                    target=self._flush_loop, name="spill-flusher", daemon=True)
+                self._flusher.start()
+            self._lock.notify_all()
+            # Backpressure: block while we are 2x over budget and flushing.
+            while (self._mem_bytes > 2 * self._budget
+                   and self._flusher is not None and self._error is None):
+                self._lock.wait(timeout=0.5)
+            if self._error:
+                raise self._error
+        return off
+
+    def _flush_loop(self) -> None:
+        stats_timer = self._stats.timer("spill.flush")
+        while True:
+            with self._lock:
+                while (self._mem_bytes <= self._budget // 2
+                       and not self._closed):
+                    self._lock.wait()
+                if not self._mem:
+                    if self._closed:
+                        return
+                    continue
+                data = self._mem[0]
+                off = self._mem_offsets[0]
+            try:
+                with stats_timer:
+                    self._file.seek(off)
+                    self._file.write(data)
+            except BaseException as e:
+                with self._lock:
+                    self._error = e
+                    self._lock.notify_all()
+                return
+            with self._lock:
+                self._mem.pop(0)
+                self._mem_offsets.pop(0)
+                self._mem_bytes -= len(data)
+                self._disk_end = off + len(data)
+                self._lock.notify_all()
+
+    # ------------------------------------------------------------- consumer
+    def freeze(self) -> None:
+        """Stop the background flusher; remaining data stays in memory and
+        reads become safe from any thread."""
+        with self._lock:
+            self._closed = True
+            self._lock.notify_all()
+            t = self._flusher
+            self._flusher = None
+        if t is not None:
+            t.join()
+        if self._error:
+            raise self._error
+
+    def read(self, offset: int, nbytes: int) -> bytes:
+        """Read a byte range (after freeze(), or for ranges already flushed).
+        Ranges may span the disk/memory boundary and multiple appends."""
+        out = bytearray()
+        end = offset + nbytes
+        if offset < self._disk_end:
+            n = min(end, self._disk_end) - offset
+            self._file.seek(offset)
+            out += self._file.read(n)
+            offset += n
+        if offset < end and self._mem:
+            i = bisect.bisect_right(self._mem_offsets, offset) - 1
+            while offset < end and i < len(self._mem):
+                buf = self._mem[i]
+                start = self._mem_offsets[i]
+                lo = offset - start
+                hi = min(end - start, len(buf))
+                out += buf[lo:hi]
+                offset = start + hi
+                i += 1
+        if len(out) != nbytes:
+            raise EOFError(
+                f"spill read past end: wanted [{end - nbytes}, {end}), "
+                f"have {self._end}")
+        return bytes(out)
+
+    def flush_all(self) -> str:
+        """Force every byte to disk (checkpoint path); returns the file."""
+        self.freeze()
+        for off, data in zip(self._mem_offsets, self._mem):
+            self._file.seek(off)
+            self._file.write(data)
+        self._file.flush()
+        self._disk_end = self._end
+        self._mem = []
+        self._mem_offsets = []
+        self._mem_bytes = 0
+        return self._path
+
+    @classmethod
+    def from_file(cls, path: str) -> "SpillStore":
+        """Open an existing fully-flushed spill file read-only (resume)."""
+        store = cls.__new__(cls)
+        store._path = path
+        store._file = open(path, "rb")
+        store._budget = 0
+        store._lock = threading.Condition()
+        store._mem = []
+        store._mem_offsets = []
+        store._mem_bytes = 0
+        store._end = store._disk_end = os.path.getsize(path)
+        store._error = None
+        store._closed = True
+        store._flusher = None
+        store._stats = get_registry()
+        return store
+
+    def cleanup(self) -> None:
+        try:
+            self.freeze()
+        except BaseException:
+            pass
+        try:
+            self._file.close()
+        except OSError:
+            pass
+        try:
+            os.remove(self._path)
+        except OSError:
+            pass

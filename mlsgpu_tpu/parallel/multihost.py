@@ -305,7 +305,8 @@ def reconstruct_distributed(source: SplatSource, cfg: ReconstructConfig,
     mine = [b for b in buckets if owner[b.chunk_id.coords] == transport.rank]
     log.info(f"rank {transport.rank}: {len(mine)}/{len(buckets)} buckets")
 
-    mesher = OOCMesher(info.grid, prune=cfg.fit_prune)
+    mesher = OOCMesher(info.grid, prune=cfg.fit_prune,
+                       reorder_budget=cfg.mem_reorder)
     caps = BlockCaps(cfg.tile_candidates, cfg.cell_cap, cfg.vertex_cap,
                      cfg.index_cap)
     for bucket, result in stream_blocks(source, info, mine, cfg, caps):

@@ -11,9 +11,10 @@ Differences from the reference, chosen for the TPU pipeline:
 - counts live in a dense microblock grid (numpy) instead of a hashed sparse
   octree — trivially vectorized, and even a 2^20-cell extent is only a
   ~256^3 microblock grid at the default 63-cell microblock;
-- regions are power-of-two octree nodes (the reference additionally merges
-  sibling runs; octree nodes are a correct, simpler choice — padding is
-  cheap on TPU because block shapes are static anyway);
+- regions are rectangular boxes of microblocks on a power-of-two-aligned
+  tiling, binary-split only where the splat budget is exceeded — padding to
+  the static device block shape is cheap on TPU (see bucket_regions for why
+  alignment is load-bearing);
 - a splat spanning multiple microblocks is counted in each (the reference
   counts it once per intersecting region as well: both are the conservative
   'splats intersecting the region' measure, src/bucket.h:144-178).
@@ -80,10 +81,10 @@ def microblock_counts(blobs: BlobArray, micro_lo: np.ndarray,
     return counts
 
 
-def _node_count(summed: np.ndarray, lo: np.ndarray, size: int) -> int:
-    """Region-sum via 3D summed-area table (inclusive prefix sums)."""
+def _node_count(summed: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> int:
+    """Box-sum via 3D summed-area table (inclusive prefix sums)."""
     dims = summed.shape
-    hi = np.minimum(lo + size, dims)  # exclusive, clipped
+    hi = np.minimum(hi, dims)  # exclusive, clipped
     l = np.maximum(lo, 0)
 
     def s(x, y, z):
@@ -98,38 +99,72 @@ def _node_count(summed: np.ndarray, lo: np.ndarray, size: int) -> int:
 
 
 def bucket_regions(counts: np.ndarray, micro_cells: int, grid_cells: np.ndarray,
-                   max_cells: int, max_splats: int) -> List[Tuple[np.ndarray, int]]:
-    """Recursive octree descent over the microblock grid. Returns a list of
-    (micro_lo (3,), micro_size) aligned regions satisfying both budgets.
+                   max_cells: int, max_splats: int
+                   ) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Tile the microblock grid with aligned boxes, then binary-split any box
+    exceeding the splat budget along its longest axis. Returns a list of
+    (micro_lo (3,), micro_size (3,)) boxes.
+
+    The tile step is the largest *power-of-two* microblock count within the
+    cell budget — NOT the largest count outright. Power-of-two alignment
+    keeps the per-block octree node grids (ops/binning.py, anchored at the
+    block origin) mutually aligned across blocks, which keeps each shared
+    corner's splat accumulation order identical in both blocks; unaligned
+    origins reorder the f32 sums and open hairline seam cracks (observed:
+    ~1 boundary edge per 4k triangles with non-pow2 56-cell tiles). The
+    reference merges sibling runs into non-pow2 regions (src/bucket_impl.h)
+    but its per-corner octree walk is alignment-independent; ours is the
+    price of the sort/matmul formulation. See PLAN.md.
 
     Raises DensityError when a single microblock exceeds max_splats
     (reference src/bucket.h:53-64)."""
     dims = np.asarray(counts.shape, dtype=np.int64)
     summed = counts.cumsum(0).cumsum(1).cumsum(2)
-    root_size = 1 << int(np.ceil(np.log2(max(int(dims.max()), 1))))
     max_micro = max(max_cells // micro_cells, 1)
+    max_micro = 1 << int(np.floor(np.log2(max_micro)))
 
-    out: List[Tuple[np.ndarray, int]] = []
+    out: List[Tuple[np.ndarray, np.ndarray]] = []
 
-    def descend(lo: np.ndarray, size: int) -> None:
-        if (lo >= dims).any():
-            return
-        n = _node_count(summed, lo, size)
+    def emit(lo: np.ndarray, hi: np.ndarray) -> None:
+        n = _node_count(summed, lo, hi)
         if n == 0:
             return
-        if size * micro_cells <= max_cells and n <= max_splats:
-            out.append((lo.copy(), size))
+        if n <= max_splats:
+            out.append((lo.copy(), hi - lo))
             return
-        if size == 1:
+        size = hi - lo
+        ax = int(np.argmax(size))
+        if size[ax] == 1:
             raise DensityError(
                 f"microblock at {lo} has {n} splats > budget {max_splats}", n)
-        half = size // 2
-        for dz in (0, 1):
-            for dy in (0, 1):
-                for dx in (0, 1):
-                    descend(lo + np.array([dx, dy, dz]) * half, half)
+        mid = int(lo[ax]) + int(size[ax]) // 2
+        hi_a = hi.copy()
+        hi_a[ax] = mid
+        lo_b = lo.copy()
+        lo_b[ax] = mid
+        emit(lo, hi_a)
+        emit(lo_b, hi)
 
-    descend(np.zeros(3, dtype=np.int64), root_size)
+    # Tile sums for the whole tiling at once (padded prefix table + np.ix_),
+    # so empty tiles are skipped without entering Python per tile.
+    step = int(max_micro)
+    pad = np.zeros(tuple(int(d) + 1 for d in dims), dtype=np.int64)
+    pad[1:, 1:, 1:] = summed
+    starts = [np.arange(0, int(d), step) for d in dims]
+    ends = [np.minimum(s + step, int(d)) for s, d in zip(starts, dims)]
+    tile_sums = (pad[np.ix_(ends[0], ends[1], ends[2])]
+                 - pad[np.ix_(starts[0], ends[1], ends[2])]
+                 - pad[np.ix_(ends[0], starts[1], ends[2])]
+                 - pad[np.ix_(ends[0], ends[1], starts[2])]
+                 + pad[np.ix_(starts[0], starts[1], ends[2])]
+                 + pad[np.ix_(starts[0], ends[1], starts[2])]
+                 + pad[np.ix_(ends[0], starts[1], starts[2])]
+                 - pad[np.ix_(starts[0], starts[1], starts[2])])
+    for ti, tj, tk in zip(*np.nonzero(tile_sums)):
+        lo = np.array([starts[0][ti], starts[1][tj], starts[2][tk]],
+                      dtype=np.int64)
+        hi = np.minimum(lo + step, dims)
+        emit(lo, hi)
     return out
 
 

@@ -32,9 +32,9 @@ from mlsgpu_tpu._native import KeyMap
 from mlsgpu_tpu.core.chunk import ChunkId
 from mlsgpu_tpu.core.grid import Grid
 from mlsgpu_tpu.io.ply import PlyWriter
+from mlsgpu_tpu.io.spill import SpillStore
 from mlsgpu_tpu.utils import logging as log
 from mlsgpu_tpu.utils.errors import StateError
-from mlsgpu_tpu.utils.misc import create_tmp_file
 from mlsgpu_tpu.utils.statistics import get_registry
 from mlsgpu_tpu.utils.union_find import UnionFind
 
@@ -53,16 +53,37 @@ class _ClumpSet(UnionFind):
     """Union-find over global clumps carrying vertex/triangle totals."""
 
     def __init__(self):
+        self._nv = np.zeros(0, dtype=np.int64)
+        self._nt = np.zeros(0, dtype=np.int64)
         super().__init__(0)
-        self.num_vertices = np.zeros(0, dtype=np.int64)
-        self.num_triangles = np.zeros(0, dtype=np.int64)
+
+    @property
+    def num_vertices(self) -> np.ndarray:
+        return self._nv[:self._n]
+
+    @num_vertices.setter
+    def num_vertices(self, arr) -> None:
+        self._nv = np.ascontiguousarray(arr, dtype=np.int64)
+
+    @property
+    def num_triangles(self) -> np.ndarray:
+        return self._nt[:self._n]
+
+    @num_triangles.setter
+    def num_triangles(self, arr) -> None:
+        self._nt = np.ascontiguousarray(arr, dtype=np.int64)
+
+    def _grow_buffers(self, cap: int, n: int) -> None:
+        super()._grow_buffers(cap, n)
+        for name in ("_nv", "_nt"):
+            new = np.empty(cap, np.int64)
+            new[:n] = getattr(self, name)[:n]
+            setattr(self, name, new)
 
     def add_clumps(self, count: int) -> int:
         start = super().add(count)
-        self.num_vertices = np.concatenate(
-            [self.num_vertices, np.zeros(count, np.int64)])
-        self.num_triangles = np.concatenate(
-            [self.num_triangles, np.zeros(count, np.int64)])
+        self._nv[start:self._n] = 0
+        self._nt[start:self._n] = 0
         return start
 
     def _meta_arrays(self):
@@ -83,19 +104,20 @@ class _ChunkRecord:
 class OOCMesher:
     """Single-pass collector (MesherBase::numPasses == 1 for OOCMesher)."""
 
-    VREC = 3 * 4 + 4          # vertex record: xyz f32 + clump int32
-    TREC = 3 * 4 + 4          # triangle record: abc int32 + clump int32
+    VREC = 3 * 4 + 4   # vertex record: xyz f32 + clump uint32
+    TREC = 3 * 4       # triangle record: abc uint32 (clump = vertex a's)
 
-    def __init__(self, grid: Grid, prune: float = 0.0):
+    def __init__(self, grid: Grid, prune: float = 0.0,
+                 reorder_budget: int = 2 * 1024 ** 3):
         self.grid = grid
         self.prune = prune
         self.clumps = _ClumpSet()
         self.key_clump = KeyMap()
         self.chunks: Dict[ChunkId, _ChunkRecord] = {}
-        self._vert_path = create_tmp_file("mlsgpu_tpu.verts.")
-        self._tri_path = create_tmp_file("mlsgpu_tpu.tris.")
-        self._vert_file = open(self._vert_path, "wb")
-        self._tri_file = open(self._tri_path, "wb")
+        # Reorder window: records stay in RAM up to the budget, spilling
+        # asynchronously beyond it (--mem-reorder, src/mesher.h:514-620).
+        self._verts = SpillStore("mlsgpu_tpu.verts.", reorder_budget // 2)
+        self._tris = SpillStore("mlsgpu_tpu.tris.", reorder_budget // 2)
         self._finalized = False
         self._stats = get_registry()
 
@@ -174,19 +196,16 @@ class OOCMesher:
         vrec_bytes = np.empty((n_new, 4), dtype=np.uint32)
         vrec_bytes[:, 0:3] = verts[write_mask].view(np.uint32)
         vrec_bytes[:, 3] = vert_clump[write_mask].astype(np.uint32)
-        off = self._vert_file.tell()
-        self._vert_file.write(vrec_bytes.tobytes())
+        off = self._verts.append(vrec_bytes)
         rec.vert_segments.append((off, n_new))
         rec.num_vertices += n_new
 
-        # triangle records (chunk-local indices)
+        # triangle records (chunk-local indices; the triangle's clump is its
+        # first vertex's clump, so no clump lane is stored)
         m = len(tris)
         if m:
-            trec = np.empty((m, 4), dtype=np.uint32)
-            trec[:, 0:3] = remap[tris].astype(np.uint32)
-            trec[:, 3] = tri_clump.astype(np.uint32)
-            toff = self._tri_file.tell()
-            self._tri_file.write(trec.tobytes())
+            trec = remap[tris].astype(np.uint32)
+            toff = self._tris.append(trec)
             rec.tri_segments.append((toff, m))
             rec.num_triangles += m
 
@@ -197,10 +216,8 @@ class OOCMesher:
     # ---------------------------------------------------------------- write
     def _finalize(self) -> None:
         if not self._finalized:
-            self._vert_file.flush()
-            self._tri_file.flush()
-            self._vert_file.close()
-            self._tri_file.close()
+            self._verts.freeze()
+            self._tris.freeze()
             self._finalized = True
 
     def _pruned_roots(self) -> set:
@@ -230,25 +247,17 @@ class OOCMesher:
         # chunk), so concurrent distributed writers never collide on `path`.
         multi = split_size != 0
 
-        vfile = open(self._vert_path, "rb")
-        tfile = open(self._tri_path, "rb")
         outputs: List[str] = []
-        try:
-            if multi:
-                for cid in chunk_ids:
-                    cpath = self._chunk_path(path, self.chunks[cid].chunk_id)
-                    self._write_chunk(cpath, [self.chunks[cid]],
-                                      vfile, tfile, pruned, writer_factory,
-                                      comments, progress)
-                    outputs.append(cpath)
-            else:
-                self._write_chunk(path, [self.chunks[c] for c in chunk_ids],
-                                  vfile, tfile, pruned, writer_factory,
-                                  comments, progress)
-                outputs.append(path)
-        finally:
-            vfile.close()
-            tfile.close()
+        if multi:
+            for cid in chunk_ids:
+                cpath = self._chunk_path(path, self.chunks[cid].chunk_id)
+                self._write_chunk(cpath, [self.chunks[cid]],
+                                  pruned, writer_factory, comments, progress)
+                outputs.append(cpath)
+        else:
+            self._write_chunk(path, [self.chunks[c] for c in chunk_ids],
+                              pruned, writer_factory, comments, progress)
+            outputs.append(path)
         return outputs
 
     @staticmethod
@@ -257,64 +266,117 @@ class OOCMesher:
         x, y, z = cid.coords
         return f"{base}_{x:04d}_{y:04d}_{z:04d}{ext}"
 
-    def _load_chunk(self, rec: _ChunkRecord, vfile, tfile):
-        verts = np.empty((rec.num_vertices, 3), np.float32)
-        vclump = np.empty(rec.num_vertices, np.int64)
+    def _iter_segments(self, segments, store, rec_size, lanes, max_records):
+        """Yield (rec_start, uint32 (n, lanes) array) slices of the spill
+        segments, each at most max_records long (bounded memory)."""
         pos = 0
-        for off, count in rec.vert_segments:
-            vfile.seek(off)
-            raw = np.frombuffer(vfile.read(count * self.VREC),
-                                dtype=np.uint32).reshape(count, 4)
-            verts[pos:pos + count] = raw[:, 0:3].view(np.float32)
-            vclump[pos:pos + count] = raw[:, 3]
-            pos += count
-        tris = np.empty((rec.num_triangles, 3), np.int64)
-        tclump = np.empty(rec.num_triangles, np.int64)
-        pos = 0
-        for off, count in rec.tri_segments:
-            tfile.seek(off)
-            raw = np.frombuffer(tfile.read(count * self.TREC),
-                                dtype=np.uint32).reshape(count, 4)
-            tris[pos:pos + count] = raw[:, 0:3]
-            tclump[pos:pos + count] = raw[:, 3]
-            pos += count
-        return verts, vclump, tris, tclump
+        for off, count in segments:
+            done = 0
+            while done < count:
+                n = min(count - done, max_records)
+                raw = np.frombuffer(
+                    store.read(off + done * rec_size, n * rec_size),
+                    dtype=np.uint32).reshape(n, lanes)
+                yield pos, raw
+                pos += n
+                done += n
 
-    def _write_chunk(self, path, recs, vfile, tfile, pruned,
+    # vertices/triangles per streamed slice of the final write (~16 MiB)
+    STREAM_RECORDS = 1 << 20
+
+    def _write_chunk(self, path, recs, pruned,
                      writer_factory, comments, progress) -> None:
-        # Concatenate chunk records (single-output mode merges all chunks;
-        # indices are per-record so they need rebasing).
-        all_v, all_t = [], []
-        vbase = 0
-        for rec in recs:
-            verts, vclump, tris, tclump = self._load_chunk(rec, vfile, tfile)
-            vroot = self.clumps.find_many(vclump)
-            keep_v = ~np.isin(vroot, list(pruned)) if pruned else np.ones(len(verts), bool)
-            troot = self.clumps.find_many(tclump)
-            keep_t = ~np.isin(troot, list(pruned)) if pruned else np.ones(len(tris), bool)
-            remap = np.cumsum(keep_v) - 1
-            all_v.append(verts[keep_v])
-            all_t.append(remap[tris[keep_t]] + vbase)
-            vbase += int(keep_v.sum())
-        verts = np.concatenate(all_v) if all_v else np.empty((0, 3), np.float32)
-        tris = np.concatenate(all_t) if all_t else np.empty((0, 3), np.int64)
+        """Stream the chunk's spill segments into the output PLY with bounded
+        memory (the reference's final write loop, src/mesher.cpp:763-852:
+        temp-file readers + AsyncWriter double-buffering). Two passes: one
+        over the clump lanes to size the output and build per-record vertex
+        remaps, one over the data, written through a background writer."""
+        from mlsgpu_tpu.io.async_io import AsyncWriter
+        pruned_arr = (np.fromiter(pruned, dtype=np.int64, count=len(pruned))
+                      if pruned else None)
 
-        # grid -> world transform (the reference's device-side ScaleBiasFilter,
-        # kernels/scale_bias.cl:33-45, applied host-side here).
-        ext_lo = np.array([e[0] for e in self.grid.extents], np.float32)
-        world = ((verts + ext_lo) * np.float32(self.grid.spacing)
-                 + np.asarray(self.grid.reference, np.float32))
+        def keep_mask(clumps_u32):
+            if pruned_arr is None:
+                return np.ones(len(clumps_u32), dtype=bool)
+            roots = self.clumps.find_many(clumps_u32.astype(np.int64))
+            return ~np.isin(roots, pruned_arr)
+
+        # Pass A (clump lanes): per-record remap rec-local id -> final vertex
+        # id (0xFFFFFFFF = pruned) and total counts for the PLY header. A
+        # triangle is kept iff its first vertex is (all three share a clump).
+        remaps: List[np.ndarray] = []
+        nv_total = 0
+        nt_total = 0
+        for rec in recs:
+            remap = np.full(rec.num_vertices, 0xFFFFFFFF, dtype=np.uint32)
+            for pos, raw in self._iter_segments(rec.vert_segments, self._verts,
+                                                self.VREC, 4,
+                                                self.STREAM_RECORDS):
+                keep = keep_mask(raw[:, 3])
+                ids = nv_total + np.cumsum(keep, dtype=np.int64) - 1
+                remap[pos:pos + len(raw)][keep] = ids[keep].astype(np.uint32)
+                nv_total += int(keep.sum())
+            remaps.append(remap)
+            if pruned_arr is not None:
+                for pos, raw in self._iter_segments(rec.tri_segments,
+                                                    self._tris, self.TREC, 3,
+                                                    self.STREAM_RECORDS):
+                    nt_total += int((remap[raw[:, 0]] != 0xFFFFFFFF).sum())
+            else:
+                nt_total += rec.num_triangles
 
         writer = writer_factory()
-        writer.set_num_vertices(len(world))
-        writer.set_num_triangles(len(tris))
+        writer.set_num_vertices(nv_total)
+        writer.set_num_triangles(nt_total)
         writer.open(path)
-        writer.write_vertices(0, world)
-        writer.write_triangles(0, tris)
-        writer.close()
-        if progress is not None:
-            progress += len(tris)
-        log.info(f"wrote {path}: {len(world)} vertices, {len(tris)} triangles")
+
+        # grid -> world transform (the reference's device-side ScaleBiasFilter,
+        # kernels/scale_bias.cl:33-45, applied host-side during the write).
+        ext_lo = np.array([e[0] for e in self.grid.extents], np.float32)
+        spacing = np.float32(self.grid.spacing)
+        reference = np.asarray(self.grid.reference, np.float32)
+
+        aw = AsyncWriter(n_buffers=2,
+                         buffer_size=self.STREAM_RECORDS * PlyWriter.TRIANGLE_SIZE)
+        aw.start()
+
+        def push(offset, payload: bytes) -> None:
+            buf = aw.get(len(payload))
+            memoryview(buf)[:len(payload)] = payload
+            aw.push(writer._writer, offset, buf, len(payload))
+
+        try:
+            vpos = 0
+            tpos = 0
+            for rec, remap in zip(recs, remaps):
+                for pos, raw in self._iter_segments(
+                        rec.vert_segments, self._verts, self.VREC, 4,
+                        self.STREAM_RECORDS):
+                    keep = remap[pos:pos + len(raw)] != 0xFFFFFFFF
+                    verts = raw[keep, 0:3].view(np.float32)
+                    world = np.ascontiguousarray(
+                        (verts + ext_lo) * spacing + reference, dtype="<f4")
+                    push(writer.vertex_byte_offset(vpos), world.tobytes())
+                    vpos += len(world)
+                for pos, raw in self._iter_segments(
+                        rec.tri_segments, self._tris, self.TREC, 3,
+                        self.STREAM_RECORDS):
+                    keep = remap[raw[:, 0]] != 0xFFFFFFFF
+                    tris = remap[raw[keep].astype(np.int64)]
+                    trec = np.empty((len(tris), PlyWriter.TRIANGLE_SIZE),
+                                    dtype=np.uint8)
+                    trec[:, 0] = 3
+                    trec[:, 1:] = (tris.astype("<u4").view(np.uint8)
+                                   .reshape(len(tris), 12))
+                    push(writer.triangle_byte_offset(tpos), trec.tobytes())
+                    tpos += len(tris)
+                    if progress is not None:
+                        progress += len(tris)
+        finally:
+            aw.stop()
+            writer.close()
+        assert vpos == nv_total and tpos == nt_total
+        log.info(f"wrote {path}: {nv_total} vertices, {nt_total} triangles")
 
     # ----------------------------------------------------- checkpoint/resume
     def checkpoint(self, path: str) -> None:
@@ -324,14 +386,14 @@ class OOCMesher:
         state = {
             "grid": self.grid,
             "prune": self.prune,
-            "clump_parent": self.clumps.parent,
-            "clump_size": self.clumps.size,
-            "clump_nv": self.clumps.num_vertices,
-            "clump_nt": self.clumps.num_triangles,
+            "clump_parent": np.array(self.clumps.parent),
+            "clump_size": np.array(self.clumps.size),
+            "clump_nv": np.array(self.clumps.num_vertices),
+            "clump_nt": np.array(self.clumps.num_triangles),
             "key_clump": self.key_clump,
             "chunks": self.chunks,
-            "vert_path": self._vert_path,
-            "tri_path": self._tri_path,
+            "vert_path": self._verts.flush_all(),
+            "tri_path": self._tris.flush_all(),
         }
         with open(path, "wb") as f:
             pickle.dump(state, f)
@@ -351,10 +413,8 @@ class OOCMesher:
         mesher.clumps.num_triangles = state["clump_nt"]
         mesher.key_clump = state["key_clump"]
         mesher.chunks = state["chunks"]
-        mesher._vert_path = state["vert_path"]
-        mesher._tri_path = state["tri_path"]
-        mesher._vert_file = None
-        mesher._tri_file = None
+        mesher._verts = SpillStore.from_file(state["vert_path"])
+        mesher._tris = SpillStore.from_file(state["tri_path"])
         mesher._finalized = True
         mesher._stats = get_registry()
         return mesher
@@ -362,8 +422,5 @@ class OOCMesher:
     def cleanup(self) -> None:
         """Remove temp spill files."""
         self._finalize()
-        for p in (self._vert_path, self._tri_path):
-            try:
-                os.remove(p)
-            except OSError:
-                pass
+        self._verts.cleanup()
+        self._tris.cleanup()

@@ -170,7 +170,8 @@ def reconstruct(source: SplatSource, cfg: ReconstructConfig, output: str,
         info, cfg.block_cells, cfg.micro_cells,
         max_splats=cfg.max_device_splats, chunk_cells=chunk_cells)
 
-    mesher = mesher or OOCMesher(info.grid, prune=cfg.fit_prune)
+    mesher = mesher or OOCMesher(info.grid, prune=cfg.fit_prune,
+                                 reorder_budget=cfg.mem_reorder)
     caps = BlockCaps(cfg.tile_candidates, cfg.cell_cap, cfg.vertex_cap,
                      cfg.index_cap)
 
@@ -180,8 +181,11 @@ def reconstruct(source: SplatSource, cfg: ReconstructConfig, output: str,
 
     with stats.timer("pass1.time"):
         from mlsgpu_tpu.pipeline.streamer import stream_blocks
+        from mlsgpu_tpu.utils import timeplot
+        mesher_worker = timeplot.Worker("mesher")
         for bucket, result in stream_blocks(source, info, buckets, cfg, caps):
-            with stats.timer("mesher.time"):
+            with timeplot.Action("mesher", mesher_worker,
+                                 stats.variable("mesher.time")):
                 mesher.add(block_result_to_input(result, bucket))
             progress += bucket.num_splats
 

@@ -85,18 +85,59 @@ def _check_overflow(result: BlockResult, caps) -> bool:
     return retry
 
 
+class PrefetchedResult:
+    """A forced BlockResult whose live prefixes are already on their way to
+    the host (copy_to_host_async issued) — the analogue of the reference's
+    3-event async enqueueReadMesh (src/mesh.h:141-179). Exposes the same
+    fields block_result_to_input needs, with the count scalars pre-read."""
+
+    def __init__(self, result: BlockResult):
+        self.num_vertices = int(result.num_vertices)
+        self.num_indices = int(result.num_indices)
+        self.first_external = int(result.first_external)
+
+        def prefix(arr, n):
+            if n <= 0:
+                return arr[:0]
+            m = min(next_pow2(n), arr.shape[0])
+            s = arr[:m]
+            try:
+                s.copy_to_host_async()
+            except Exception:
+                pass
+            return s
+
+        nv = self.num_vertices
+        self.vertices = prefix(result.vertices, nv)
+        self.triangles = prefix(result.triangles, self.num_indices // 3)
+        self.key_hi = prefix(result.key_hi, nv)
+        self.key_lo = prefix(result.key_lo, nv)
+
+
 def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
-                  devices: Optional[List] = None, window: int = 2
+                  devices: Optional[List] = None, window: Optional[int] = None
                   ) -> Iterator[Tuple[object, BlockResult]]:
-    """Yield (bucket, forced BlockResult) for every bucket, pipelined."""
+    """Yield (bucket, forced+prefetched result) for every bucket, pipelined."""
     stats = get_registry()
     devices = devices if devices is not None else _pick_devices(cfg.num_devices)
+    if window is None:
+        # --device-threads N = N in-flight blocks per device (the reference's
+        # per-device command queues, src/workers.h:183-206), min 2 for
+        # load/compute overlap on one device.
+        window = max(2, getattr(cfg, "device_threads", 1) * len(devices))
     window = max(window, len(devices))
     load_q: "queue.Queue" = queue.Queue(maxsize=window + 1)
     blob_start = info.blobs.start
     blob_count = info.blobs.count
     grid = info.grid
     error: List[BaseException] = []
+
+    # One padded shape for the whole run: h2d transfer is cheap (a few
+    # ms/MB) but every distinct shape costs a block_step trace+compile
+    # (tens of seconds on this host), so uniform padding to the largest
+    # bucket is a large net win (the reference sizes its splat buffers to
+    # --mem-bucket-splats once for the same reason, src/workers.h:183-206).
+    pad_to = next_pow2(max((b.num_splats for b in buckets), default=1))
 
     def loader():
         worker = timeplot.Worker("loader")
@@ -109,7 +150,8 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
                         (int(blob_start[i]), int(blob_start[i] + blob_count[i]))
                         for i in b.blob_ids)
                     splats = source.read_ranges(ranges)
-                    padded, valid = prepare_block_inputs(splats, b, grid)
+                    padded, valid = prepare_block_inputs(splats, b, grid,
+                                                         pad_to=pad_to)
                 load_q.put((b, padded, valid))
         except BaseException as e:  # propagate to consumer
             error.append(e)
@@ -133,7 +175,7 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
                          f"(K={caps.max_candidates}, cells={caps.cell_cap}, "
                          f"verts={caps.vertex_cap}, inds={caps.index_cap})")
                 result = _dispatch(padded, valid, b, cfg, caps, device)
-        return b, result
+        return b, PrefetchedResult(result)
 
     try:
         while True:

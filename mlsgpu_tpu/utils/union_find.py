@@ -28,17 +28,53 @@ class UnionFind:
     """
 
     def __init__(self, n: int):
-        self.parent = np.arange(n, dtype=np.int64)
-        self.size = np.ones(n, dtype=np.int64)
+        self._n = int(n)
+        self._parent = np.arange(self._n, dtype=np.int64)
+        self._size = np.ones(self._n, dtype=np.int64)
+
+    # parent/size are exposed as prefix views over capacity buffers so that
+    # add() is amortized O(1) per element (the reference grows its node
+    # vector the same way; a per-block np.concatenate would be O(blocks^2)
+    # across a multi-thousand-block run).
+    @property
+    def parent(self) -> np.ndarray:
+        return self._parent[:self._n]
+
+    @parent.setter
+    def parent(self, arr) -> None:
+        self._parent = np.ascontiguousarray(arr, dtype=np.int64)
+        self._n = len(self._parent)
+
+    @property
+    def size(self) -> np.ndarray:
+        return self._size[:self._n]
+
+    @size.setter
+    def size(self, arr) -> None:
+        self._size = np.ascontiguousarray(arr, dtype=np.int64)
 
     def __len__(self) -> int:
-        return len(self.parent)
+        return self._n
+
+    def _grow_buffers(self, cap: int, n: int) -> None:
+        """Reallocate capacity buffers to `cap`, preserving the first `n`
+        elements. Subclasses with metadata arrays extend this."""
+        newp = np.empty(cap, np.int64)
+        newp[:n] = self._parent[:n]
+        self._parent = newp
+        news = np.empty(cap, np.int64)
+        news[:n] = self._size[:n]
+        self._size = news
 
     def add(self, count: int = 1) -> int:
         """Append new singleton elements; returns index of the first new one."""
-        start = len(self.parent)
-        self.parent = np.concatenate([self.parent, np.arange(start, start + count, dtype=np.int64)])
-        self.size = np.concatenate([self.size, np.ones(count, dtype=np.int64)])
+        start = self._n
+        need = start + count
+        if need > len(self._parent):
+            self._grow_buffers(max(need, 2 * len(self._parent), 64), start)
+        self._parent[start:need] = np.arange(start, need, dtype=np.int64)
+        self._size[start:need] = 1
+        self._n = need
         return start
 
     def find(self, x: int) -> int:

@@ -114,3 +114,133 @@ def test_cli_response_file(tmp_path):
     args = build_parser().parse_args(
         ["-o", "out.ply", f"@{rf}", "in.ply"])
     assert args.fit_grid == 0.5
+
+
+# ---------------------------------------------------------------- spill store
+
+class TestSpillStore:
+    def test_memory_only(self):
+        from mlsgpu_tpu.io.spill import SpillStore
+        s = SpillStore("test.spill.", mem_budget=1 << 20)
+        try:
+            a = np.arange(100, dtype=np.uint32)
+            b = np.arange(100, 300, dtype=np.uint32)
+            off_a = s.append(a)
+            off_b = s.append(b)
+            s.freeze()
+            assert off_a == 0 and off_b == 400
+            got = np.frombuffer(s.read(0, 400), np.uint32)
+            np.testing.assert_array_equal(got, a)
+            # read spanning both appends
+            got = np.frombuffer(s.read(396, 8), np.uint32)
+            np.testing.assert_array_equal(got, [99, 100])
+        finally:
+            s.cleanup()
+
+    def test_spill_to_disk_and_boundary_read(self):
+        from mlsgpu_tpu.io.spill import SpillStore
+        s = SpillStore("test.spill.", mem_budget=1024)  # tiny budget
+        try:
+            chunks = [np.full(200, i, np.uint8) for i in range(40)]
+            offs = [s.append(c) for c in chunks]
+            s.freeze()
+            assert s._disk_end > 0, "flusher never ran"
+            for i in (0, 10, 20, 39):
+                got = np.frombuffer(s.read(offs[i], 200), np.uint8)
+                np.testing.assert_array_equal(got, chunks[i])
+            # one read crossing many chunk boundaries (and likely the
+            # disk/memory boundary)
+            got = np.frombuffer(s.read(100, 8000 - 200), np.uint8)
+            expect = np.concatenate(chunks)[100:7900]
+            np.testing.assert_array_equal(got, expect)
+        finally:
+            s.cleanup()
+
+    def test_flush_all_and_from_file(self, tmp_path):
+        from mlsgpu_tpu.io.spill import SpillStore
+        s = SpillStore("test.spill.", mem_budget=1 << 20)
+        data = np.random.default_rng(0).integers(0, 255, 5000).astype(np.uint8)
+        s.append(data)
+        path = s.flush_all()
+        s2 = SpillStore.from_file(path)
+        got = np.frombuffer(s2.read(0, 5000), np.uint8)
+        np.testing.assert_array_equal(got, data)
+        s.cleanup()
+
+    def test_read_past_end(self):
+        from mlsgpu_tpu.io.spill import SpillStore
+        s = SpillStore("test.spill.", mem_budget=1024)
+        try:
+            s.append(b"abc")
+            s.freeze()
+            with pytest.raises(EOFError):
+                s.read(0, 10)
+        finally:
+            s.cleanup()
+
+
+# -------------------------------------------------------------------- tools
+
+def test_analyze_stats(tmp_path, capsys):
+    from mlsgpu_tpu.tools.analyze_stats import main as as_main
+    stats = tmp_path / "stats.txt"
+    stats.write_text(
+        "run.time: 10.0 : 10.0 +/- 0.0 [1]\n"
+        "pass0.time: 1.0 : 1.0 +/- 0.0 [1]\n"
+        "device.time: 4.0 : 0.4 +/- 0.1 [10]\n"
+        "mesher.time: 3.0 : 0.3 +/- 0.1 [10]\n"
+        "mesher.blocks: 10\n"
+        "mesher.vertices: 1000\n"
+        "mesher.triangles: 2000\n"
+        "mem.peak: 5 (peak 1048576)\n")
+    assert as_main([str(stats)]) == 0
+    out = capsys.readouterr().out
+    assert "total run time: 10.00s" in out
+    assert "device compute" in out and "40.0%" in out
+    assert "blocks: 10" in out
+    assert "1.0 MiB" in out
+
+
+def test_simulate_tool(tmp_path, capsys):
+    from mlsgpu_tpu.tools.simulate import main as sim_main, simulate
+    trace = tmp_path / "tp.txt"
+    lines = []
+    t = 0.0
+    for i in range(8):
+        lines.append(f"EVENT loader load {t} {t + 0.5}")
+        lines.append(f"EVENT device compute {t + 0.5} {t + 1.5}")
+        lines.append(f"EVENT mesher mesher {t + 1.5} {t + 1.7}")
+        t += 1.7
+    trace.write_text("\n".join(lines) + "\n")
+    assert sim_main([str(trace), "--devices", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "8 blocks" in out
+    # two devices should beat one on compute-bound stages
+    one = simulate([0.1] * 8, [1.0] * 8, [0.1] * 8, devices=1)
+    two = simulate([0.1] * 8, [1.0] * 8, [0.1] * 8, devices=2)
+    assert two < one
+
+
+def test_bucket_regions_pow2_aligned():
+    """Region origins must stay on power-of-two microblock boundaries
+    (cross-block accumulation-order determinism; see bucket_regions)."""
+    from mlsgpu_tpu.pipeline.bucket import bucket_regions
+    rng = np.random.default_rng(3)
+    counts = rng.integers(0, 50, size=(9, 9, 9)).astype(np.int64)
+    regions = bucket_regions(counts, micro_cells=8, grid_cells=None,
+                             max_cells=63, max_splats=2000)
+    assert regions
+    total = 0
+    covered = np.zeros_like(counts)
+    for lo, size in regions:
+        assert (size > 0).all()
+        assert (size * 8 <= 64).all()  # cell budget (rounded to microblocks)
+        # whole tiles (not splat-budget splits) sit on the pow2 tile grid
+        if (size == 4).all():
+            assert (lo % 4 == 0).all()
+        covered[lo[0]:lo[0]+size[0], lo[1]:lo[1]+size[1],
+                lo[2]:lo[2]+size[2]] += 1
+        total += counts[lo[0]:lo[0]+size[0], lo[1]:lo[1]+size[1],
+                        lo[2]:lo[2]+size[2]].sum()
+    assert covered.max() <= 1, "regions overlap"
+    assert total == counts.sum(), "regions miss splats"
