@@ -64,13 +64,16 @@ def main():
     out = os.path.join(tempfile.mkdtemp(), "bench.ply")
     src = SequenceSource(splats)
 
-    # Warm-up on a small prefix to amortize compilation out of the measure
-    # (caps may grow during warm-up; they persist via the config defaults).
-    warm = SequenceSource(splats[:200_000])
-    reconstruct(warm, cfg, out, show_progress=False)
+    # Warm-up: run the SAME workload once so the measured run reuses the
+    # identical compiled program (uniform run-wide pad shape) and the grown
+    # caps — the measured pass is pure steady-state throughput.
+    from mlsgpu_tpu.pipeline.reconstruct import BlockCaps
+    caps = BlockCaps(cfg.tile_candidates, cfg.cell_cap, cfg.vertex_cap,
+                     cfg.index_cap)
+    reconstruct(src, cfg, out, show_progress=False, caps=caps)
 
     t0 = time.monotonic()
-    files = reconstruct(src, cfg, out, show_progress=False)
+    files = reconstruct(src, cfg, out, show_progress=False, caps=caps)
     elapsed = time.monotonic() - t0
 
     msplats = N_SPLATS / elapsed / 1e6

@@ -30,6 +30,37 @@ class BlockResult(NamedTuple):
     max_tile_candidates: jnp.ndarray  # () int32
     num_cells: jnp.ndarray            # () int32 occupied cells
     num_unwelded: jnp.ndarray         # () int32 pre-weld vertices
+    # Optional single-transfer readback image (pack_output=True): flat u32
+    # [vertex f32 bits (3*nv) | external key hi,lo pairs (2*(nv-fe)) |
+    #  triangle index bits (num_indices)], live prefix length
+    # 3*nv + 2*(nv-fe) + num_indices. One d2h transfer replaces four and
+    # skips the internal vertices' keys entirely.
+    packed: jnp.ndarray = None
+
+
+def _pack_readback(welded, vertex_cap: int, index_cap: int) -> jnp.ndarray:
+    """Compact the welded mesh into one flat u32 buffer via a single gather
+    (the packing analogue of the reference's 3-event enqueueReadMesh,
+    src/mesh.h:141-179, sized to the live counts)."""
+    vc = vertex_cap
+    verts_u32 = jax.lax.bitcast_convert_type(
+        welded.vertices, jnp.uint32).reshape(-1)            # (3*vc,)
+    tris_u32 = jax.lax.bitcast_convert_type(
+        welded.triangles, jnp.uint32).reshape(-1)           # (index_cap,)
+    flat = jnp.concatenate(
+        [verts_u32, welded.key_hi, welded.key_lo, tris_u32])
+    total = flat.shape[0]                                   # 5*vc + index_cap
+    nv = welded.num_vertices.astype(jnp.int32)
+    fe = welded.first_external.astype(jnp.int32)
+    ne = nv - fe
+    p = jnp.arange(total, dtype=jnp.int32)
+    v_end = 3 * nv
+    k_end = v_end + 2 * ne
+    kpos = p - v_end
+    src_k = 3 * vc + (kpos % 2) * vc + fe + kpos // 2       # hi/lo interleave
+    src_t = 5 * vc + (p - k_end)
+    g = jnp.where(p < v_end, p, jnp.where(p < k_end, src_k, src_t))
+    return jnp.take(flat, g, mode="clip")
 
 
 def block_step_body(splats: jnp.ndarray,
@@ -46,7 +77,8 @@ def block_step_body(splats: jnp.ndarray,
                     index_cap: int,
                     fit_shape: str = "sphere",
                     tile_chunk: int = 32,
-                    mls_backend: str = "xla") -> BlockResult:
+                    mls_backend: str = "xla",
+                    pack_output: bool = False) -> BlockResult:
     """Reconstruct one block (un-jitted body; see block_step).
 
     Args:
@@ -97,6 +129,8 @@ def block_step_body(splats: jnp.ndarray,
         max_tile_candidates=max_total,
         num_cells=mesh.num_cells,
         num_unwelded=mesh.num_vertices,
+        packed=(_pack_readback(welded, vertex_cap, index_cap)
+                if pack_output else None),
     )
 
 
@@ -104,7 +138,7 @@ block_step = functools.partial(
     jax.jit,
     static_argnames=("boundary_factor", "levels", "subsampling",
                      "max_candidates", "cell_cap", "vertex_cap", "index_cap",
-                     "fit_shape", "tile_chunk", "mls_backend"),
+                     "fit_shape", "tile_chunk", "mls_backend", "pack_output"),
 )(block_step_body)
 block_step.__doc__ = "Jitted block_step_body (one compile per static config)."
 

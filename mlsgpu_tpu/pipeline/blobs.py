@@ -86,10 +86,10 @@ def compute_blobs(source: SplatSource, spacing: float, micro_cells: int,
     def close_run():
         nonlocal cur_lo
         if cur_lo is not None:
-            starts.append(cur_start)
-            counts.append(cur_count)
-            los.append(cur_lo)
-            his.append(cur_hi)
+            starts.append(np.array([cur_start], dtype=np.int64))
+            counts.append(np.array([cur_count], dtype=np.int64))
+            los.append(cur_lo[None, :])
+            his.append(cur_hi[None, :])
             cur_lo = None
 
     with stats.timer("blobs.time"):
@@ -123,13 +123,26 @@ def compute_blobs(source: SplatSource, spacing: float, micro_cells: int,
             lead = int(run_starts[0]) if len(run_starts) else len(chunk)
             if cur_lo is not None:
                 cur_count += lead  # carried run extends into this chunk
-            for i, rs in enumerate(run_starts):
-                re = int(run_starts[i + 1]) if i + 1 < len(run_starts) else len(chunk)
+            if len(run_starts):
                 close_run()
-                if finite[rs]:
-                    cur_start = first_id + int(rs)
-                    cur_count = re - int(rs)
-                    cur_lo, cur_hi = mlo[rs], mhi[rs]
+                rs = run_starts
+                ends = np.concatenate([rs[1:], [len(chunk)]])
+                # Vectorized emit of every complete run; the final run stays
+                # open (it may continue into the next chunk). Incoherent
+                # inputs can have one run per splat — a Python per-run loop
+                # here was the blob pass's bottleneck.
+                emit = finite[rs[:-1]]
+                if emit.any():
+                    idx = np.nonzero(emit)[0]
+                    starts.append(first_id + rs[idx])
+                    counts.append(ends[idx] - rs[idx])
+                    los.append(mlo[rs[idx]])
+                    his.append(mhi[rs[idx]])
+                last = int(rs[-1])
+                if finite[last]:
+                    cur_start = first_id + last
+                    cur_count = len(chunk) - last
+                    cur_lo, cur_hi = mlo[last], mhi[last]
             if progress is not None:
                 progress += len(chunk)
     close_run()
@@ -138,10 +151,10 @@ def compute_blobs(source: SplatSource, spacing: float, micro_cells: int,
         raise ValueError("no finite splats in input")
 
     blobs = BlobArray(
-        start=np.asarray(starts, dtype=np.int64),
-        count=np.asarray(counts, dtype=np.int64),
-        lo=np.asarray(los, dtype=np.int64).reshape(-1, 3),
-        hi=np.asarray(his, dtype=np.int64).reshape(-1, 3),
+        start=np.concatenate(starts).astype(np.int64),
+        count=np.concatenate(counts).astype(np.int64),
+        lo=np.concatenate(los).astype(np.int64).reshape(-1, 3),
+        hi=np.concatenate(his).astype(np.int64).reshape(-1, 3),
     )
 
     # Grid extents: corners influenced span [cell_min, cell_max + 1]

@@ -138,6 +138,8 @@ class OOCMesher:
 
         # 1. Local components over the block's triangles
         # (computeLocalComponents, src/mesher.cpp:220).
+        t_uf = self._stats.timer("mesher.localUF")
+        t_uf.__enter__()
         local = UnionFind(n)
         if len(tris):
             local.merge_pairs(np.concatenate([tris[:, 0], tris[:, 0]]),
@@ -145,7 +147,10 @@ class OOCMesher:
         roots = local.roots()
         uroots, local_label = np.unique(roots, return_inverse=True)
         num_local = len(uroots)
+        t_uf.__exit__(None, None, None)
 
+        t_cl = self._stats.timer("mesher.clumps")
+        t_cl.__enter__()
         # 2. A global clump per local component (updateGlobalClumps).
         base = self.clumps.add_clumps(num_local)
         vert_clump = (base + local_label).astype(np.int64)
@@ -163,6 +168,9 @@ class OOCMesher:
             if dup.any():
                 self.clumps.merge_pairs(prev[dup], ext_clumps[dup])
 
+        t_cl.__exit__()
+        t_sp = self._stats.timer("mesher.spill")
+        t_sp.__enter__()
         # 4. Spill vertices/triangles, deduplicating externals within the
         # output chunk (updateLocalClumps / reorder buffer). Chunk identity
         # is the coordinate triple; the generation number only orders writes
@@ -209,6 +217,7 @@ class OOCMesher:
             rec.tri_segments.append((toff, m))
             rec.num_triangles += m
 
+        t_sp.__exit__()
         self._stats.counter("mesher.blocks").add(1)
         self._stats.counter("mesher.vertices").add(n_new)
         self._stats.counter("mesher.triangles").add(m)

@@ -135,11 +135,32 @@ def block_result_to_input(result: BlockResult, bucket: bucket_mod.Bucket
         nv = int(result.num_vertices)
         ni = int(result.num_indices)
         fe = int(result.first_external)
+    from mlsgpu_tpu.pipeline.streamer import PrefetchedResult
     with stats.timer("readback.mesh"):
-        verts = _fetch_prefix(result.vertices, nv)
-        tris = _fetch_prefix(result.triangles, ni // 3)
-        hi = _fetch_prefix(result.key_hi, nv)[fe:].astype(np.int64)
-        lo = _fetch_prefix(result.key_lo, nv)[fe:].astype(np.int64)
+        if getattr(result, "packed", None) is not None:
+            # Single packed transfer (ops/block._pack_readback layout).
+            ne = nv - fe
+            flat = np.asarray(result.packed)
+            v_end = 3 * nv
+            k_end = v_end + 2 * ne
+            verts = flat[:v_end].view(np.float32).reshape(nv, 3)
+            keypairs = flat[v_end:k_end].reshape(ne, 2).astype(np.int64)
+            hi, lo = keypairs[:, 0], keypairs[:, 1]
+            tris = (flat[k_end:k_end + ni].view(np.int32)
+                    .reshape(ni // 3, 3))
+        elif isinstance(result, PrefetchedResult):
+            # Arrays are already pow2-prefix slices with host copies in
+            # flight (copy_to_host_async at force time) — re-slicing here
+            # would dispatch fresh device programs and a second transfer.
+            verts = np.asarray(result.vertices)[:nv]
+            tris = np.asarray(result.triangles)[:ni // 3]
+            hi = np.asarray(result.key_hi)[fe:nv].astype(np.int64)
+            lo = np.asarray(result.key_lo)[fe:nv].astype(np.int64)
+        else:
+            verts = _fetch_prefix(result.vertices, nv)
+            tris = _fetch_prefix(result.triangles, ni // 3)
+            hi = _fetch_prefix(result.key_hi, nv)[fe:].astype(np.int64)
+            lo = _fetch_prefix(result.key_lo, nv)[fe:].astype(np.int64)
     verts = verts + bucket.cell_lo.astype(np.float32)  # block -> grid frame
     keys = ((hi & 0x7FFFFFFF) << 32) | lo
     return BlockInput(chunk_id=bucket.chunk_id, vertices=verts,
@@ -148,7 +169,9 @@ def block_result_to_input(result: BlockResult, bucket: bucket_mod.Bucket
 
 def reconstruct(source: SplatSource, cfg: ReconstructConfig, output: str,
                 writer_factory=None, show_progress: Optional[bool] = None,
-                mesher: Optional[OOCMesher] = None) -> List[str]:
+                mesher: Optional[OOCMesher] = None,
+                caps: Optional[BlockCaps] = None,
+                filters=None) -> List[str]:
     """Full single-host reconstruction. Returns the list of output files."""
     cfg.validate()
     stats = get_registry()
@@ -172,8 +195,9 @@ def reconstruct(source: SplatSource, cfg: ReconstructConfig, output: str,
 
     mesher = mesher or OOCMesher(info.grid, prune=cfg.fit_prune,
                                  reorder_budget=cfg.mem_reorder)
-    caps = BlockCaps(cfg.tile_candidates, cfg.cell_cap, cfg.vertex_cap,
-                     cfg.index_cap)
+    if caps is None:
+        caps = BlockCaps(cfg.tile_candidates, cfg.cell_cap, cfg.vertex_cap,
+                         cfg.index_cap)
 
     total = sum(b.num_splats for b in buckets)
     progress = (ProgressDisplay(total, label="reconstructing")
@@ -184,9 +208,18 @@ def reconstruct(source: SplatSource, cfg: ReconstructConfig, output: str,
         from mlsgpu_tpu.utils import timeplot
         mesher_worker = timeplot.Worker("mesher")
         for bucket, result in stream_blocks(source, info, buckets, cfg, caps):
+            block = block_result_to_input(result, bucket)
             with timeplot.Action("mesher", mesher_worker,
                                  stats.variable("mesher.time")):
-                mesher.add(block_result_to_input(result, bucket))
+                if filters is not None:
+                    # MeshFilterChain hook (pipeline/mesh_filter.py; the
+                    # reference applies its chain device-side before the
+                    # output functor, src/mesh_filter.h:132-170).
+                    v, t = filters(block.vertices, block.triangles)
+                    block = BlockInput(chunk_id=block.chunk_id, vertices=v,
+                                       first_external=block.first_external,
+                                       ext_keys=block.ext_keys, triangles=t)
+                mesher.add(block)
             progress += bucket.num_splats
 
     if cfg.checkpoint:

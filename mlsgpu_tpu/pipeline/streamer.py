@@ -52,14 +52,20 @@ def _dispatch(padded, valid, bucket, cfg, caps, device) -> BlockResult:
         cell_origin=jax.device_put(
             np.asarray(bucket.cell_lo, np.int32), device),
     )
-    return block_step(
+    result = block_step(
         **args,
         boundary_factor=float(cfg.boundary_factor),
         levels=cfg.levels, subsampling=cfg.subsampling,
         max_candidates=caps.max_candidates,
         cell_cap=caps.cell_cap, vertex_cap=caps.vertex_cap,
         index_cap=caps.index_cap, fit_shape=cfg.fit_shape,
-        mls_backend=resolve_mls_backend(getattr(cfg, "mls_backend", "auto")))
+        mls_backend=resolve_mls_backend(getattr(cfg, "mls_backend", "auto")),
+        pack_output=True)
+    # NOTE: do NOT copy_to_host_async the full packed buffer here — on this
+    # platform d2h transfers do not overlap device compute, so an eager
+    # full-cap transfer serializes the pipeline (measured 1.9x slower than
+    # slicing the live prefix at force time).
+    return result
 
 
 def _check_overflow(result: BlockResult, caps) -> bool:
@@ -86,10 +92,12 @@ def _check_overflow(result: BlockResult, caps) -> bool:
 
 
 class PrefetchedResult:
-    """A forced BlockResult whose live prefixes are already on their way to
-    the host (copy_to_host_async issued) — the analogue of the reference's
-    3-event async enqueueReadMesh (src/mesh.h:141-179). Exposes the same
-    fields block_result_to_input needs, with the count scalars pre-read."""
+    """A forced BlockResult whose live data is already on its way to the
+    host (copy_to_host_async issued) — the analogue of the reference's
+    3-event async enqueueReadMesh (src/mesh.h:141-179). When the result
+    carries a packed readback image (ops/block._pack_readback) only its live
+    prefix travels: one transfer, externals-only keys. The count scalars are
+    pre-read."""
 
     def __init__(self, result: BlockResult):
         self.num_vertices = int(result.num_vertices)
@@ -108,6 +116,12 @@ class PrefetchedResult:
             return s
 
         nv = self.num_vertices
+        self.packed = None
+        if getattr(result, "packed", None) is not None:
+            ne = nv - self.first_external
+            total = 3 * nv + 2 * ne + self.num_indices
+            self.packed = prefix(result.packed, total)
+            return
         self.vertices = prefix(result.vertices, nv)
         self.triangles = prefix(result.triangles, self.num_indices // 3)
         self.key_hi = prefix(result.key_hi, nv)

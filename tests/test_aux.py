@@ -244,3 +244,22 @@ def test_bucket_regions_pow2_aligned():
                         lo[2]:lo[2]+size[2]].sum()
     assert covered.max() <= 1, "regions overlap"
     assert total == counts.sum(), "regions miss splats"
+
+
+def test_mesh_filter_chain():
+    from mlsgpu_tpu.pipeline.mesh_filter import MeshFilterChain, ScaleBiasFilter
+    verts = np.array([[1.0, 2.0, 3.0], [0.0, 0.0, 0.0]], np.float32)
+    tris = np.array([[0, 1, 0]], np.int64)
+    chain = MeshFilterChain([ScaleBiasFilter(scale=2.0, bias=(1.0, 0.0, 0.0))])
+    chain.add_filter(lambda v, t: (v + 1.0, t))
+    v2, t2 = chain(verts, tris)
+    np.testing.assert_allclose(v2[0], [4.0, 5.0, 7.0])
+    np.testing.assert_array_equal(t2, tris)
+
+    class FakeGrid:
+        extents = ((2, 10), (0, 10), (0, 10))
+        spacing = 0.5
+        reference = (1.0, 1.0, 1.0)
+    sb = ScaleBiasFilter.from_grid(FakeGrid())
+    v3, _ = sb(np.zeros((1, 3), np.float32), tris)
+    np.testing.assert_allclose(v3[0], [2.0, 1.0, 1.0])
