@@ -140,8 +140,24 @@ def _enable_compile_cache() -> None:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
-    _enable_compile_cache()
+    import os
+    if os.environ.get("MLSGPU_TPU_FORCE_CPU"):
+        # Escape hatch for machines whose sitecustomize pins a device
+        # platform (JAX_PLATFORMS env alone cannot override it); also how
+        # the multi-process tests run several ranks on one box.
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     args = build_parser().parse_args(argv)
+    transport = None
+    if args.num_processes > 1:
+        # Must happen before anything initializes a jax backend
+        # (MPI_Init analogue, mlsgpu-mpi.cpp:513).
+        from mlsgpu_tpu.parallel.multihost import init_distributed
+        transport = init_distributed(
+            coordinator=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id)
+    _enable_compile_cache()
     if args.quiet:
         log.set_log_level("quiet")
     elif args.debug:
@@ -184,13 +200,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             try:
                 from mlsgpu_tpu.io.ply import PlyWriter
                 with DiskUsage():
-                    if args.num_processes > 1:
+                    if transport is not None:
                         from mlsgpu_tpu.parallel.multihost import (
-                            init_distributed, reconstruct_distributed)
-                        transport = init_distributed(
-                            coordinator=args.coordinator,
-                            num_processes=args.num_processes,
-                            process_id=args.process_id)
+                            reconstruct_distributed)
                         outputs = reconstruct_distributed(
                             source, cfg, args.output_file, transport,
                             writer_factory=lambda: PlyWriter(

@@ -142,18 +142,22 @@ def tile_segments(entry_keys: jnp.ndarray, min_shift: int, max_shift: int,
     t = jnp.arange(tiles_per_axis, dtype=jnp.uint32)
     tz, ty, tx = jnp.meshgrid(t, t, t, indexing="ij")
     code = morton.encode_jnp(tx.ravel(), ty.ravel(), tz.ravel())  # (T,)
+    ntiles = code.shape[0]
 
     offs = jnp.asarray(level_offsets(min_shift, max_shift))
-    starts = []
-    lens = []
+    keys = []
     for li in range(nlev):
         # morton(t) >> 3k == morton(t >> k): ancestor node code by shifting.
         node = code >> jnp.uint32(3 * (tile_shift + li))
-        key = offs[li] + node
-        # method='sort' vectorizes on TPU (the default scan is serial-ish)
-        s = jnp.searchsorted(entry_keys, key, side="left", method="sort")
-        e = jnp.searchsorted(entry_keys, key + jnp.uint32(1), side="left",
-                             method="sort")
-        starts.append(s.astype(jnp.int32))
-        lens.append((e - s).astype(jnp.int32))
-    return jnp.stack(starts, axis=1), jnp.stack(lens, axis=1)
+        keys.append(offs[li] + node)
+        keys.append(offs[li] + node + jnp.uint32(1))
+    # ONE batched rank computation: method='sort' pays a sort of the whole
+    # entry array per call, so 2*nlev separate calls cost 2*nlev entry
+    # sorts; per-level key ranges are disjoint, so a single call over the
+    # concatenated queries is equivalent and ~nlev*2 cheaper.
+    ranks = jnp.searchsorted(entry_keys, jnp.concatenate(keys), side="left",
+                             method="sort").astype(jnp.int32)
+    per = ranks.reshape(nlev, 2, ntiles)
+    starts = per[:, 0, :].T                        # (T, L)
+    lens = (per[:, 1, :] - per[:, 0, :]).T
+    return starts, lens

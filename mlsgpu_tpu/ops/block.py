@@ -30,6 +30,7 @@ class BlockResult(NamedTuple):
     max_tile_candidates: jnp.ndarray  # () int32
     num_cells: jnp.ndarray            # () int32 occupied cells
     num_unwelded: jnp.ndarray         # () int32 pre-weld vertices
+    num_occ_tiles: jnp.ndarray = None  # () int32 (pallas tile compaction)
     # Optional single-transfer readback image (pack_output=True): flat u32
     # [vertex f32 bits (3*nv) | external key hi,lo pairs (2*(nv-fe)) |
     #  triangle index bits (num_indices)], live prefix length
@@ -78,7 +79,8 @@ def block_step_body(splats: jnp.ndarray,
                     fit_shape: str = "sphere",
                     tile_chunk: int = 32,
                     mls_backend: str = "xla",
-                    pack_output: bool = False) -> BlockResult:
+                    pack_output: bool = False,
+                    occ_tile_cap: int = 0) -> BlockResult:
     """Reconstruct one block (un-jitted body; see block_step).
 
     Args:
@@ -102,16 +104,18 @@ def block_step_body(splats: jnp.ndarray,
         # Fused VMEM kernel (~100x+ the XLA path on TPU, ops/mls_pallas.py).
         # No candidate cap: segments are walked in full.
         from mlsgpu_tpu.ops.mls_pallas import eval_field_pallas
-        field, max_total = eval_field_pallas(
+        field, max_total, n_occ = eval_field_pallas(
             binned.entry_data, starts, lens, cell_origin, tiles_per_axis,
             fit_shape=fit_shape,
             boundary_factor=float(boundary_factor),
-            interpret=(mls_backend == "pallas_interpret"))
+            interpret=(mls_backend == "pallas_interpret"),
+            tile_cap=occ_tile_cap)
     else:
         field, max_total = mls.eval_field(
             binned.entry_data, starts, lens, cell_origin, tiles_per_axis,
             max_candidates, fit_shape, jnp.float32(boundary_factor),
             tile_chunk=tile_chunk)
+        n_occ = jnp.int32(0)
 
     mesh = marching.generate(field, region_cells, cell_origin,
                              cell_cap, vertex_cap, index_cap)
@@ -129,6 +133,7 @@ def block_step_body(splats: jnp.ndarray,
         max_tile_candidates=max_total,
         num_cells=mesh.num_cells,
         num_unwelded=mesh.num_vertices,
+        num_occ_tiles=n_occ,
         packed=(_pack_readback(welded, vertex_cap, index_cap)
                 if pack_output else None),
     )
@@ -138,7 +143,8 @@ block_step = functools.partial(
     jax.jit,
     static_argnames=("boundary_factor", "levels", "subsampling",
                      "max_candidates", "cell_cap", "vertex_cap", "index_cap",
-                     "fit_shape", "tile_chunk", "mls_backend", "pack_output"),
+                     "fit_shape", "tile_chunk", "mls_backend", "pack_output",
+                     "occ_tile_cap"),
 )(block_step_body)
 block_step.__doc__ = "Jitted block_step_body (one compile per static config)."
 

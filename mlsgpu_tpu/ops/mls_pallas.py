@@ -41,13 +41,17 @@ CHUNK = 128  # candidates staged per DMA window (reference MAX_BUCKET=256)
 
 
 def _kernel(origin_ref,                                 # scalar prefetch (3,)
+            occ_ref,                                    # scalar prefetch (C,)
             seg_starts_ref, seg_lens_ref,               # SMEM (1, L) per tile
             entry_ref,                                  # HBM (8, Epad)
+            init_ref,                                   # ANY (aliased output)
             out_ref,                                    # VMEM (1, 8, 64)
             buf_ref, sem,                               # scratch
             acc_m, acc_hits,
             *, levels: int, tpa: int, fit_shape: str, boundary_factor: float):
-    t = pl.program_id(0)
+    del init_ref  # only present to seed the aliased output with NaN
+    step = pl.program_id(0)
+    t = occ_ref[step]  # compacted: grid steps visit only occupied tiles
     tz = t // (tpa * tpa)
     ty = (t // tpa) % tpa
     tx = t % tpa
@@ -157,7 +161,7 @@ def _kernel(origin_ref,                                 # scalar prefetch (3,)
 @functools.partial(
     jax.jit,
     static_argnames=("tiles_per_axis", "fit_shape", "boundary_factor",
-                     "interpret"))
+                     "interpret", "tile_cap"))
 def eval_field_pallas(entry_data: jnp.ndarray,
                       seg_starts: jnp.ndarray,
                       seg_lens: jnp.ndarray,
@@ -165,11 +169,19 @@ def eval_field_pallas(entry_data: jnp.ndarray,
                       tiles_per_axis: int,
                       fit_shape: str = "sphere",
                       boundary_factor: float = 0.0,
-                      interpret: bool = False
-                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                      interpret: bool = False,
+                      tile_cap: int = 0
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for ops.mls.eval_field (no K cap: segments are
     walked in full, like the reference's unbounded command list — the
-    max_total diagnostic is returned as 0 for interface compatibility)."""
+    max_total diagnostic is returned as 0 for interface compatibility).
+
+    tile_cap > 0 enables occupied-tile compaction: grid steps visit only
+    tiles whose segment totals are nonzero (a surface crosses a few percent
+    of tiles; empty grid steps still cost an output DMA each). Returns
+    (field, max_total, num_occupied_tiles) — the caller must retry with a
+    larger tile_cap when num_occupied_tiles exceeds it (tiles beyond the cap
+    would silently stay NaN)."""
     tpa = int(tiles_per_axis)
     num_tiles = tpa ** 3
     levels = seg_starts.shape[1]
@@ -178,23 +190,45 @@ def eval_field_pallas(entry_data: jnp.ndarray,
     entry_t = jnp.zeros((8, epad), jnp.float32)
     entry_t = entry_t.at[:, :e].set(entry_data.T)
 
+    compact = 0 < tile_cap < num_tiles
+    if compact:
+        totals = jnp.sum(seg_lens, axis=1)
+        occ = totals > 0
+        n_occ = jnp.sum(occ.astype(jnp.int32))
+        key = jnp.where(occ, jnp.arange(num_tiles, dtype=jnp.int32),
+                        jnp.int32(num_tiles))
+        occ_tiles = jax.lax.sort(key)[:tile_cap]
+        grid_steps = tile_cap
+    else:
+        n_occ = jnp.int32(num_tiles)
+        occ_tiles = jnp.arange(num_tiles, dtype=jnp.int32)
+        grid_steps = num_tiles
+
+    # Row num_tiles is the dump target for padding grid steps; unvisited
+    # tiles keep the NaN seeded through the aliased init input.
+    init = jnp.full((num_tiles + 1, 8, 64), jnp.nan, jnp.float32)
+
+    def seg_index(step, org_ref, occ_ref):
+        return (jnp.minimum(occ_ref[step], num_tiles - 1) // 8, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        # Only the 3-int origin is scalar-prefetched; the (T, L) segment
-        # tables would blow SMEM at 256^3 blocks, so they stream in as
-        # per-tile SMEM blocks instead.
-        num_scalar_prefetch=1,
-        grid=(num_tiles,),
+        # The 3-int origin and the compacted tile list are scalar-prefetched;
+        # the (T, L) segment tables would blow SMEM at 256^3 blocks, so they
+        # stream in as per-tile SMEM blocks instead.
+        num_scalar_prefetch=2,
+        grid=(grid_steps,),
         in_specs=[
-            pl.BlockSpec((8, levels), lambda t, *_: (t // 8, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, levels), lambda t, *_: (t // 8, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, levels), seg_index, memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, levels), seg_index, memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         # (1, 8, 64) satisfies the TPU tiling rule (trailing dims equal the
         # array's); 8*64 = one 512-corner tile per grid step.
-        out_specs=pl.BlockSpec((1, 8, 64), lambda t, *_: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, 8, 64),
+            lambda step, org_ref, occ_ref: (occ_ref[step], 0, 0),
+            memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((8, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -208,12 +242,14 @@ def eval_field_pallas(entry_data: jnp.ndarray,
     f = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, 64), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_tiles + 1, 8, 64), jnp.float32),
+        input_output_aliases={5: 0},  # init (arg 5 incl. prefetch) -> out
         interpret=interpret,
-    )(cell_origin.astype(jnp.int32),
-      seg_starts.astype(jnp.int32), seg_lens.astype(jnp.int32), entry_t)
+    )(cell_origin.astype(jnp.int32), occ_tiles,
+      seg_starts.astype(jnp.int32), seg_lens.astype(jnp.int32), entry_t,
+      init)
 
-    f = f.reshape(tpa, tpa, tpa, TILE, TILE, TILE)
+    f = f[:num_tiles].reshape(tpa, tpa, tpa, TILE, TILE, TILE)
     field = f.transpose(0, 3, 1, 4, 2, 5).reshape(
         tpa * TILE, tpa * TILE, tpa * TILE)
-    return field, jnp.int32(0)
+    return field, jnp.int32(0), n_occ

@@ -43,6 +43,19 @@ class BlockCaps:
     cell_cap: int
     vertex_cap: int
     index_cap: int
+    # occupied-MLS-tile cap for the pallas backend's compacted grid
+    # (ops/mls_pallas.py); 0 = no compaction. Grown on overflow like the
+    # rest.
+    occ_tile_cap: int = 0
+
+
+def default_occ_tile_cap(cfg) -> int:
+    """Initial occupied-tile cap: an eighth of the tile grid (a surface
+    crosses a few percent of tiles; 1/8 leaves growth headroom without
+    wasting grid steps)."""
+    tpa = (cfg.block_cells + 1) // 8
+    num_tiles = tpa ** 3
+    return max(min(num_tiles, 512), num_tiles // 8)
 
 
 def prepare_block_inputs(splats: np.ndarray, bucket: bucket_mod.Bucket,
@@ -197,7 +210,7 @@ def reconstruct(source: SplatSource, cfg: ReconstructConfig, output: str,
                                  reorder_budget=cfg.mem_reorder)
     if caps is None:
         caps = BlockCaps(cfg.tile_candidates, cfg.cell_cap, cfg.vertex_cap,
-                         cfg.index_cap)
+                         cfg.index_cap, occ_tile_cap=default_occ_tile_cap(cfg))
 
     total = sum(b.num_splats for b in buckets)
     progress = (ProgressDisplay(total, label="reconstructing")

@@ -60,7 +60,8 @@ def _dispatch(padded, valid, bucket, cfg, caps, device) -> BlockResult:
         cell_cap=caps.cell_cap, vertex_cap=caps.vertex_cap,
         index_cap=caps.index_cap, fit_shape=cfg.fit_shape,
         mls_backend=resolve_mls_backend(getattr(cfg, "mls_backend", "auto")),
-        pack_output=True)
+        pack_output=True,
+        occ_tile_cap=caps.occ_tile_cap)
     # NOTE: do NOT copy_to_host_async the full packed buffer here — on this
     # platform d2h transfers do not overlap device compute, so an eager
     # full-cap transfer serializes the pipeline (measured 1.9x slower than
@@ -88,6 +89,11 @@ def _check_overflow(result: BlockResult, caps) -> bool:
     if ni > caps.index_cap:
         caps.index_cap = 3 * next_pow2(ni // 3 + 1)
         retry = True
+    if caps.occ_tile_cap and getattr(result, "num_occ_tiles", None) is not None:
+        nt = int(result.num_occ_tiles)
+        if nt > caps.occ_tile_cap:
+            caps.occ_tile_cap = next_pow2(nt)
+            retry = True
     return retry
 
 

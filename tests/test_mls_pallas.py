@@ -31,7 +31,7 @@ def test_pallas_matches_xla(fit):
 
     ref, mt = mls.eval_field(binned.entry_data, starts, lens, origin, tpa,
                              1024, fit, jnp.float32(0.0), tile_chunk=8)
-    got, _ = eval_field_pallas(binned.entry_data, starts, lens, origin, tpa,
+    got, _, _ = eval_field_pallas(binned.entry_data, starts, lens, origin, tpa,
                                fit_shape=fit, boundary_factor=0.0,
                                interpret=True)
     ref = np.asarray(ref)
@@ -54,7 +54,7 @@ def test_pallas_chunk_boundaries():
 
     ref, _ = mls.eval_field(binned.entry_data, starts, lens, origin, tpa,
                             4096, "sphere", jnp.float32(0.0), tile_chunk=8)
-    got, _ = eval_field_pallas(binned.entry_data, starts, lens, origin, tpa,
+    got, _, _ = eval_field_pallas(binned.entry_data, starts, lens, origin, tpa,
                                interpret=True)
     ref = np.asarray(ref)
     got = np.asarray(got)
@@ -68,6 +68,28 @@ def test_pallas_empty_tiles_nan():
     rng = np.random.default_rng(33)
     splats = oracle.sphere_cloud([8.0, 8.0, 8.0], 3.0, 600, 1.5, rng)
     binned, starts, lens, origin, tpa = _setup(splats)
-    got, _ = eval_field_pallas(binned.entry_data, starts, lens, origin, tpa,
+    got, _, _ = eval_field_pallas(binned.entry_data, starts, lens, origin, tpa,
                                interpret=True)
     assert np.isnan(np.asarray(got)[31, 31, 31])
+
+
+@pytest.mark.slow
+def test_pallas_tile_compaction_matches_full():
+    """Occupied-tile compaction (tile_cap) must reproduce the full grid
+    bitwise and report the occupied-tile count for cap growth."""
+    rng = np.random.default_rng(5)
+    splats = oracle.sphere_cloud([16.0, 15.0, 17.0], 9.0, 1200, 2.0, rng)
+    binned, starts, lens, origin, tpa = _setup(splats)
+    full, _, _ = eval_field_pallas(binned.entry_data, starts, lens, origin,
+                                   tpa, fit_shape="sphere",
+                                   boundary_factor=0.0, interpret=True)
+    comp, _, n_occ = eval_field_pallas(binned.entry_data, starts, lens,
+                                       origin, tpa, fit_shape="sphere",
+                                       boundary_factor=0.0, interpret=True,
+                                       tile_cap=tpa ** 3 - 1)
+    full = np.asarray(full)
+    comp = np.asarray(comp)
+    assert 0 < int(n_occ) <= tpa ** 3
+    assert np.array_equal(np.isnan(full), np.isnan(comp))
+    fin = np.isfinite(full)
+    assert np.array_equal(full[fin], comp[fin])
