@@ -81,6 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
     o = p.add_argument_group("observability")
     o.add_argument("--statistics", action="store_true",
                    help="print statistics at exit")
+    o.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax device profile of the compute pass "
+                        "into DIR (TensorBoard trace; the reference's "
+                        "--statistics-cl event timing analogue)")
     o.add_argument("--statistics-file", help="write statistics to file")
     o.add_argument("--timeplot", help="write timing trace to file")
     o.add_argument("--quiet", action="store_true")
@@ -199,7 +203,35 @@ def main(argv: Optional[List[str]] = None) -> int:
                                 reader_type=args.reader)
             try:
                 from mlsgpu_tpu.io.ply import PlyWriter
-                with DiskUsage():
+                import contextlib
+
+                @contextlib.contextmanager
+                def _maybe_profile():
+                    # Device op-level profiling (--statistics-cl analogue,
+                    # src/statistics_cl.h:43-93): a TensorBoard trace of
+                    # the compute pass.
+                    if not args.profile:
+                        yield
+                        return
+                    import jax
+                    try:
+                        trace = jax.profiler.trace(args.profile)
+                        trace.__enter__()
+                    except Exception as e:
+                        log.warn(f"profiling unavailable: {e}")
+                        yield
+                        return
+                    try:
+                        yield
+                    finally:
+                        try:
+                            trace.__exit__(None, None, None)
+                            log.info(
+                                f"device profile written to {args.profile}")
+                        except Exception as e:
+                            log.warn(f"profiling failed: {e}")
+
+                with DiskUsage(), _maybe_profile():
                     if transport is not None:
                         from mlsgpu_tpu.parallel.multihost import (
                             reconstruct_distributed)

@@ -84,6 +84,84 @@ def microblock_counts(blobs: BlobArray, micro_lo: np.ndarray,
     return counts
 
 
+def sparse_micro_counts(blobs: BlobArray, micro_lo: np.ndarray
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Sorted (morton_codes, counts) of occupied microblocks — the sparse
+    replacement for the dense count grid when the extent exceeds
+    MAX_MICRO_GRID^3 (the reference's octree of counters is sparse too,
+    src/bucket_internal.h). Codes are uint64 Morton (21 bits/axis)."""
+    from mlsgpu_tpu.ops import morton
+    lo = (blobs.lo - micro_lo).astype(np.uint64)
+    hi = (blobs.hi - micro_lo).astype(np.uint64)
+    span = (blobs.hi - blobs.lo)
+    single = (span == 0).all(axis=1)
+
+    codes = [morton.encode_np(lo[single, 0], lo[single, 1], lo[single, 2])]
+    weights = [blobs.count[single]]
+    for i in np.nonzero(~single)[0]:
+        l, h = lo[i], hi[i]
+        xs = np.arange(l[0], h[0] + 1, dtype=np.uint64)
+        ys = np.arange(l[1], h[1] + 1, dtype=np.uint64)
+        zs = np.arange(l[2], h[2] + 1, dtype=np.uint64)
+        gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
+        codes.append(morton.encode_np(gx.ravel(), gy.ravel(), gz.ravel()))
+        weights.append(np.full(gx.size, blobs.count[i], dtype=np.int64))
+    all_codes = np.concatenate(codes)
+    all_weights = np.concatenate(weights)
+    ucodes, inv = np.unique(all_codes, return_inverse=True)
+    counts = np.bincount(inv, weights=all_weights.astype(np.float64),
+                         minlength=len(ucodes)).astype(np.int64)
+    return ucodes, counts
+
+
+def bucket_regions_sparse(codes: np.ndarray, counts: np.ndarray,
+                          micro_cells: int, dims: np.ndarray,
+                          max_cells: int, max_splats: int
+                          ) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Sparse analogue of bucket_regions: the same pow2-aligned tiling, but
+    box sums come from Morton-range queries over the sorted occupied-
+    microblock codes (an aligned pow2 cube is one contiguous Morton range).
+    Splat-budget splits recurse to octree children (also Morton-contiguous)
+    instead of longest-axis halves."""
+    from mlsgpu_tpu.ops import morton
+    step = max(max_cells // micro_cells, 1)
+    step = 1 << int(np.floor(np.log2(step)))
+    prefix = np.concatenate([[0], np.cumsum(counts)])
+
+    def cube_sum(code_lo: int, size: int) -> int:
+        a = np.searchsorted(codes, code_lo, side="left")
+        b = np.searchsorted(codes, code_lo + size ** 3, side="left")
+        return int(prefix[b] - prefix[a])
+
+    out: List[Tuple[np.ndarray, np.ndarray]] = []
+
+    def emit(code_lo: int, size: int) -> None:
+        n = cube_sum(code_lo, size)
+        if n == 0:
+            return
+        if n <= max_splats:
+            x, y, z = morton.decode_np(np.array([code_lo], dtype=np.uint64))
+            lo = np.array([int(x[0]), int(y[0]), int(z[0])], dtype=np.int64)
+            sz = np.minimum(lo + size, dims) - lo
+            if (sz > 0).all():
+                out.append((lo, sz))
+            return
+        if size == 1:
+            raise DensityError(
+                f"microblock (code {code_lo}) has {n} splats > budget "
+                f"{max_splats}", n)
+        child = (size // 2) ** 3
+        for c in range(8):
+            emit(code_lo + c * child, size // 2)
+
+    # Occupied tiles straight from the codes (no dense sweep).
+    tile_vol = step ** 3
+    tiles = np.unique(codes // tile_vol)
+    for t in tiles:
+        emit(int(t) * tile_vol, step)
+    return out
+
+
 def _node_count(summed: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> int:
     """Box-sum via 3D summed-area table (inclusive prefix sums)."""
     dims = summed.shape
@@ -235,10 +313,17 @@ def make_buckets(info: BlobInfo, block_cells: int, micro_cells: int,
     one ChunkId (the reference's BucketCollector generation assignment)."""
     stats = get_registry()
     with stats.timer("bucket.time"):
-        counts = microblock_counts(info.blobs, info.micro_lo, info.micro_dims)
         grid_cells = np.asarray(info.grid.shape_cells, dtype=np.int64)
-        regions = bucket_regions(counts, micro_cells, grid_cells,
-                                 block_cells, max_splats)
+        if (info.micro_dims > MAX_MICRO_GRID).any():
+            codes, counts = sparse_micro_counts(info.blobs, info.micro_lo)
+            regions = bucket_regions_sparse(
+                codes, counts, micro_cells, info.micro_dims,
+                block_cells, max_splats)
+        else:
+            counts = microblock_counts(info.blobs, info.micro_lo,
+                                       info.micro_dims)
+            regions = bucket_regions(counts, micro_cells, grid_cells,
+                                     block_cells, max_splats)
         step = max(block_cells // micro_cells, 1)
         step = 1 << int(np.floor(np.log2(step)))  # must match bucket_regions
         blob_lists = assign_blobs(info.blobs, info.micro_lo, regions,

@@ -282,3 +282,43 @@ class TestMesher:
         np.testing.assert_allclose(verts[0], [12.0, 22.0, 32.0])
         np.testing.assert_allclose(verts[1], [13.0, 22.0, 32.0])
         mesher.cleanup()
+
+
+class TestSparseBucketing:
+    def test_sparse_matches_dense(self):
+        """The sparse (Morton-range) bucketing must produce the same region
+        decomposition as the dense count grid."""
+        splats = make_cloud(8000, radius=4.0, sr=0.05)
+        info = blobs_mod.compute_blobs(SequenceSource(splats), 0.05, 16)
+        dense = bucket_mod.bucket_regions(
+            bucket_mod.microblock_counts(info.blobs, info.micro_lo,
+                                         info.micro_dims),
+            16, np.asarray(info.grid.shape_cells), 63, 10**9)
+        codes, counts = bucket_mod.sparse_micro_counts(info.blobs,
+                                                       info.micro_lo)
+        sparse = bucket_mod.bucket_regions_sparse(
+            codes, counts, 16, info.micro_dims, 63, 10**9)
+        dn = sorted((tuple(lo), tuple(sz)) for lo, sz in dense)
+        sp = sorted((tuple(lo), tuple(sz)) for lo, sz in sparse)
+        assert dn == sp
+
+    def test_sparse_fallback_huge_extent(self, monkeypatch):
+        """Extents beyond the dense guard take the sparse path end-to-end."""
+        monkeypatch.setattr(bucket_mod, "MAX_MICRO_GRID", 4)
+        splats = make_cloud(4000, radius=4.0, sr=0.05)
+        info = blobs_mod.compute_blobs(SequenceSource(splats), 0.05, 8)
+        assert (info.micro_dims > 4).any()
+        buckets = bucket_mod.make_buckets(info, block_cells=63, micro_cells=8,
+                                          max_splats=2000)
+        assert buckets
+        total = sum(b.num_splats for b in buckets)
+        assert total >= 4000  # conservative cover
+
+    def test_sparse_density_error(self):
+        splats = np.tile(make_cloud(1)[0], (500, 1))
+        info = blobs_mod.compute_blobs(SequenceSource(splats), 0.1, 4)
+        codes, counts = bucket_mod.sparse_micro_counts(info.blobs,
+                                                       info.micro_lo)
+        with pytest.raises(DensityError):
+            bucket_mod.bucket_regions_sparse(codes, counts, 4,
+                                             info.micro_dims, 63, 100)
