@@ -79,50 +79,56 @@ def check_manifold(vertices: np.ndarray, triangles: np.ndarray) -> ManifoldRepor
     pair_b = et[1:][same]
     shared_edge = eu[:-1][same]
 
-    # Per-vertex fan connectivity: run union-find per vertex over incident
-    # triangles. Build (vertex, triangle) incidence and merge along shared
-    # edges at each endpoint of the edge.
-    uf = UnionFind(nt * 2)  # placeholder sizing; replaced below per vertex
-
-    # Group incident triangles by vertex.
+    # Group incident triangles by vertex. Slots are positions in the
+    # vertex-sorted incidence arrays; the per-vertex fan check is a
+    # union-find over slots, fully vectorized (a per-slot Python dict and
+    # per-pair merge loop made 10M-triangle checks take minutes).
     inc_v = np.concatenate([a, b, c])
     inc_t = np.tile(np.arange(nt, dtype=np.int64), 3)
     vorder = np.argsort(inc_v, kind="stable")
     inc_v, inc_t = inc_v[vorder], inc_t[vorder]
     vstarts = np.searchsorted(inc_v, np.arange(nv + 1))
+    if nt and np.any(np.diff(vstarts) == 0):
+        v = int(np.nonzero(np.diff(vstarts) == 0)[0][0])
+        return fail(f"isolated vertex {v}")
 
-    # Map (vertex, triangle) -> slot index for a flat union-find.
-    slot_of = {}
-    for s in range(len(inc_v)):
-        slot_of[(int(inc_v[s]), int(inc_t[s]))] = s
-    uf = UnionFind(len(inc_v))
+    # (vertex, triangle) -> slot via one sort + binary search.
+    key = inc_v * nt + inc_t  # unique (each triangle lists a vertex once)
+    korder = np.argsort(key)
+    skey = key[korder]
+
+    def slots(v, t):
+        return korder[np.searchsorted(skey, v * nt + t)]
+
     ev0 = shared_edge // nv
     ev1 = shared_edge % nv
-    for e0, e1, t0, t1 in zip(ev0, ev1, pair_a, pair_b):
-        for v in (int(e0), int(e1)):
-            uf.merge(slot_of[(v, int(t0))], slot_of[(v, int(t1))])
+    uf = UnionFind(len(inc_v))
+    uf.merge_pairs(
+        np.concatenate([slots(ev0, pair_a), slots(ev1, pair_a)]),
+        np.concatenate([slots(ev0, pair_b), slots(ev1, pair_b)]))
     roots = uf.roots()
-    for v in range(nv):
-        s0, s1 = vstarts[v], vstarts[v + 1]
-        if s1 - s0 > 1 and len(np.unique(roots[s0:s1])) != 1:
-            return fail(f"vertex {v} link is not a single fan")
-        if s1 == s0:
-            # isolated vertex: allowed only if mesh has no triangles at all
-            if nt:
-                return fail(f"isolated vertex {v}")
+    # Distinct fan-roots per vertex group must be 1: sort (vertex, root)
+    # and flag any second distinct root inside a group.
+    ord2 = np.lexsort((roots, inc_v))
+    v2 = inc_v[ord2]
+    r2 = roots[ord2]
+    newgrp = np.ones(len(v2), dtype=bool)
+    newgrp[1:] = v2[1:] != v2[:-1]
+    newroot = np.ones(len(v2), dtype=bool)
+    newroot[1:] = newgrp[1:] | (r2[1:] != r2[:-1])
+    bad = newroot & ~newgrp
+    if bad.any():
+        v = int(v2[np.nonzero(bad)[0][0]])
+        return fail(f"vertex {v} link is not a single fan")
 
-    # Components + Euler characteristic.
+    # Components + Euler characteristic (bincount over compressed roots).
     cuf = UnionFind(nv)
     cuf.merge_pairs(np.concatenate([a, a]), np.concatenate([b, c]))
     vroots = cuf.roots()
-    comp_ids = np.unique(vroots)
-    eulers = []
-    for cid in comp_ids:
-        vs = vroots == cid
-        nvc = int(np.sum(vs))
-        ntc = int(np.sum(vroots[a] == cid))
-        # count undirected edges in this component
-        nec = int(np.sum(vroots[uniq // nv] == cid))
-        eulers.append(nvc - nec + ntc)
+    comp_ids, comp_idx = np.unique(vroots, return_inverse=True)
+    nvc = np.bincount(comp_idx, minlength=len(comp_ids))
+    ntc = np.bincount(comp_idx[a], minlength=len(comp_ids))
+    nec = np.bincount(comp_idx[uniq // nv], minlength=len(comp_ids))
+    eulers = [int(x) for x in (nvc - nec + ntc)]
 
     return ManifoldReport(True, None, nv, nt, num_boundary, len(comp_ids), eulers)
