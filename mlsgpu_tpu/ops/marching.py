@@ -183,13 +183,20 @@ def generate(field: jnp.ndarray,
     key_hi = jnp.where(vvalid, key_hi, PAD_KEY)
 
     # --- indices --------------------------------------------------------------
+    # Per-cell index counts are multiples of 3, so the producer search runs
+    # per *triangle* slot (index_cap/3 queries instead of index_cap — the
+    # rank sort is the cost, see _slot_to_producer).
     index_tab = jnp.asarray(tables.INDEX_TABLE)          # (256, MI)
-    islots = jnp.arange(index_cap, dtype=jnp.int32)
-    iprod = _slot_to_producer(i_start, occ_valid, index_cap)
-    ivalid = islots < num_indices
-    k = jnp.clip(islots - i_start[iprod], 0, tables.MAX_CELL_INDICES - 1)
-    ilocal = index_tab[occ_code[iprod], k]
-    indices = jnp.where(ivalid, v_start[iprod] + jnp.maximum(ilocal, 0), 0)
+    tslots = jnp.arange(index_cap // 3, dtype=jnp.int32)
+    tprod = _slot_to_producer(i_start // 3, occ_valid, index_cap // 3)
+    tvalid = tslots < num_indices // 3
+    k3 = jnp.clip(3 * (tslots - i_start[tprod] // 3), 0,
+                  tables.MAX_CELL_INDICES - 3)
+    kk = k3[:, None] + jnp.arange(3, dtype=jnp.int32)[None, :]
+    ilocal = index_tab[occ_code[tprod][:, None], kk]     # (icap//3, 3)
+    indices = jnp.where(tvalid[:, None],
+                        v_start[tprod][:, None] + jnp.maximum(ilocal, 0),
+                        0).reshape(-1)
 
     return BlockMesh(
         vertices=vertices,
