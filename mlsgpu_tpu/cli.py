@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--reader", choices=["syscall", "mmap"], default="syscall")
     a.add_argument("--mls-backend", choices=["auto", "xla", "pallas"],
                    default="auto", help="MLS kernel implementation")
+    a.add_argument("--mem-reorder", type=parse_capacity, default=d.mem_reorder,
+                   help="mesher reorder-window byte budget before spilling "
+                        "to disk [%(default)s]")
     a.add_argument("--decache", action="store_true",
                    help="evict inputs from the page cache first (cold-cache runs)")
 
@@ -110,6 +113,7 @@ def config_from_args(args) -> ReconstructConfig:
         num_devices=args.num_devices,
         output_split_size=args.split_size,
         mls_backend=args.mls_backend,
+        mem_reorder=args.mem_reorder,
         decache=args.decache,
         checkpoint=args.checkpoint,
         resume=args.resume,

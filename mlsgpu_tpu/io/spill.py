@@ -36,6 +36,9 @@ class SpillStore:
         self._closed = False
         self._flusher: Optional[threading.Thread] = None
         self._stats = get_registry()
+        # reorder-window memory accounting (reference Statistics::Peak via
+        # the allocator, src/allocator.h:58-250)
+        self._peak = self._stats.peak("mem.spill")
 
     @property
     def path(self) -> str:
@@ -56,6 +59,7 @@ class SpillStore:
             self._mem_offsets.append(off)
             self._mem_bytes += len(data)
             self._end += len(data)
+            self._peak.add(len(data))
             if self._mem_bytes > self._budget and self._flusher is None:
                 self._flusher = threading.Thread(
                     target=self._flush_loop, name="spill-flusher", daemon=True)
@@ -95,6 +99,7 @@ class SpillStore:
                 self._mem.pop(0)
                 self._mem_offsets.pop(0)
                 self._mem_bytes -= len(data)
+                self._peak.add(-len(data))
                 self._disk_end = off + len(data)
                 self._lock.notify_all()
 

@@ -151,7 +151,8 @@ class Peak(Statistic):
         self.current, self.peak = d["current"], d["peak"]
 
     def __str__(self) -> str:
-        return f"{self.name}: {self.peak}"
+        # parsed by tools/analyze_stats.py
+        return f"{self.name}: {self.current} (peak {self.peak})"
 
 
 class TimerStat(Variable):
