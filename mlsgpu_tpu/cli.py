@@ -63,7 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--checkpoint", help="checkpoint state to PATH instead of writing")
     a.add_argument("--resume", help="resume from checkpoint PATH (write only)")
     a.add_argument("--tmp-dir", help="directory for temporary spill files")
-    a.add_argument("--reader", choices=["syscall", "mmap"], default="syscall")
+    a.add_argument("--reader", choices=["syscall", "mmap", "stream"],
+                   default="syscall",
+                   help="input IO backend (reference --reader)")
+    a.add_argument("--writer", choices=["syscall", "stream"],
+                   default="syscall",
+                   help="output IO backend (reference --writer)")
     a.add_argument("--mls-backend", choices=["auto", "xla", "pallas"],
                    default="auto", help="MLS kernel implementation")
     a.add_argument("--mem-reorder", type=parse_capacity, default=d.mem_reorder,
@@ -193,7 +198,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     comments = provenance.comments()
     try:
         if args.resume:
-            outputs = resume(args.resume, cfg, args.output_file)
+            if transport is not None:
+                from mlsgpu_tpu.parallel.multihost import resume_distributed
+                outputs = resume_distributed(args.resume, cfg,
+                                             args.output_file, transport)
+            else:
+                outputs = resume(args.resume, cfg, args.output_file)
         else:
             if not args.inputs:
                 print("error: no input files", file=sys.stderr)
@@ -206,8 +216,13 @@ def main(argv: Optional[List[str]] = None) -> int:
                                 max_radius=cfg.max_radius,
                                 reader_type=args.reader)
             try:
+                from mlsgpu_tpu.io.binary import make_writer
                 from mlsgpu_tpu.io.ply import PlyWriter
                 import contextlib
+
+                def _writer_factory():
+                    return PlyWriter(writer=make_writer(args.writer),
+                                     comments=comments)
 
                 @contextlib.contextmanager
                 def _maybe_profile():
@@ -241,13 +256,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                             reconstruct_distributed)
                         outputs = reconstruct_distributed(
                             source, cfg, args.output_file, transport,
-                            writer_factory=lambda: PlyWriter(
-                                comments=comments))
+                            writer_factory=_writer_factory)
                     else:
                         outputs = reconstruct(
                             source, cfg, args.output_file,
-                            writer_factory=lambda: PlyWriter(
-                                comments=comments))
+                            writer_factory=_writer_factory)
             finally:
                 source.close()
     except (MlsError, OSError) as e:

@@ -175,8 +175,67 @@ class MemoryWriter(BinaryWriter):
             self._buf[offset:end] = data
 
 
-READER_TYPES = {"syscall": SyscallReader, "mmap": MmapReader}
-WRITER_TYPES = {"syscall": SyscallWriter}
+class StreamReader(BinaryReader):
+    """Buffered-stream reader with a seek+read under a lock (reference
+    STREAM_READER, src/binary_io.h:42-71). The syscall reader is usually
+    faster for the random ranged reads the loader issues; this backend
+    exists for filesystems where buffered IO wins (many tiny ranges)."""
+
+    def __init__(self):
+        self._f = None
+        self._lock = threading.Lock()
+
+    def open(self, path: str) -> None:
+        self._f = open(path, "rb", buffering=1 << 20)
+
+    def close(self) -> None:
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+
+    def size(self) -> int:
+        with self._lock:
+            pos = self._f.tell()
+            self._f.seek(0, os.SEEK_END)
+            n = self._f.tell()
+            self._f.seek(pos)
+            return n
+
+    def read(self, offset: int, nbytes: int) -> bytes:
+        with self._lock:
+            self._f.seek(offset)
+            return self._f.read(nbytes)
+
+
+class StreamWriter(BinaryWriter):
+    """Buffered-stream writer (reference STREAM_WRITER): seek+write under a
+    lock; resize via truncate."""
+
+    def __init__(self):
+        self._f = None
+        self._lock = threading.Lock()
+
+    def open(self, path: str) -> None:
+        self._f = open(path, "w+b", buffering=1 << 20)
+
+    def close(self) -> None:
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+
+    def resize(self, size: int) -> None:
+        with self._lock:
+            self._f.truncate(size)
+
+    def write(self, offset: int, data: bytes) -> None:
+        with self._lock:
+            self._f.seek(offset)
+            self._f.write(data)
+
+
+READER_TYPES = {"syscall": SyscallReader, "mmap": MmapReader,
+                "stream": StreamReader}
+WRITER_TYPES = {"syscall": SyscallWriter, "stream": StreamWriter}
 
 
 def make_reader(kind: str = "syscall") -> BinaryReader:

@@ -305,20 +305,38 @@ def reconstruct_distributed(source: SplatSource, cfg: ReconstructConfig,
     mine = [b for b in buckets if owner[b.chunk_id.coords] == transport.rank]
     log.info(f"rank {transport.rank}: {len(mine)}/{len(buckets)} buckets")
 
+    from mlsgpu_tpu.pipeline.reconstruct import default_occ_tile_cap
     mesher = OOCMesher(info.grid, prune=cfg.fit_prune,
                        reorder_budget=cfg.mem_reorder)
     caps = BlockCaps(cfg.tile_candidates, cfg.cell_cap, cfg.vertex_cap,
-                     cfg.index_cap)
+                     cfg.index_cap, occ_tile_cap=default_occ_tile_cap(cfg))
     for bucket, result in stream_blocks(source, info, mine, cfg, caps):
         mesher.add(block_result_to_input(result, bucket))
+
+    if cfg.checkpoint:
+        # Per-rank checkpoint (the reference's distributed --checkpoint;
+        # resume must use the same process count, runResume
+        # mlsgpu-mpi.cpp:349-372).
+        mesher.checkpoint(_rank_checkpoint_path(cfg.checkpoint, transport))
+        transport.allgather(None)  # barrier: all ranks checkpointed
+        _merge_stats(transport)
+        return []
 
     pruned = global_pruned_roots(mesher, cfg.fit_prune, transport)
     outputs = mesher.write(output, writer_factory=writer_factory,
                            split_size=cfg.output_split_size or 1,
                            pruned_override=pruned)
     mesher.cleanup()
+    _merge_stats(transport)
+    return outputs
 
-    # statistics merge on rank 0 (doStatistics analogue)
+
+def _rank_checkpoint_path(path: str, transport: Transport) -> str:
+    return f"{path}.rank{transport.rank:04d}"
+
+
+def _merge_stats(transport: Transport) -> None:
+    """Statistics merge on rank 0 (doStatistics, mlsgpu-mpi.cpp:302-339)."""
     stats = get_registry()
     all_stats = transport.allgather(stats.to_dict())
     if transport.rank == 0:
@@ -326,4 +344,18 @@ def reconstruct_distributed(source: SplatSource, cfg: ReconstructConfig,
             other = type(stats)()
             other.load_dict(d)
             stats.merge(other)
+
+
+def resume_distributed(checkpoint_path: str, cfg: ReconstructConfig,
+                       output: str, transport: Transport,
+                       writer_factory=None) -> List[str]:
+    """Write-only distributed run from per-rank checkpoints (--resume with
+    --num-processes; requires the same process count as the checkpoint)."""
+    path = _rank_checkpoint_path(checkpoint_path, transport)
+    mesher = OOCMesher.resume(path)
+    pruned = global_pruned_roots(mesher, mesher.prune, transport)
+    outputs = mesher.write(output, writer_factory=writer_factory,
+                           split_size=cfg.output_split_size or 1,
+                           pruned_override=pruned)
+    _merge_stats(transport)
     return outputs

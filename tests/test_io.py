@@ -149,3 +149,30 @@ class TestPlyWriter:
         back = r.read()
         r.close()
         np.testing.assert_allclose(back[:, :7], splats[:, :7], rtol=1e-6)
+
+
+class TestStreamBackends:
+    def test_stream_reader_roundtrip(self, tmp_path):
+        p = tmp_path / "f.bin"
+        data = bytes(range(256)) * 16
+        p.write_bytes(data)
+        r = binary.make_reader("stream")
+        r.open(str(p))
+        try:
+            assert r.size() == len(data)
+            assert r.read(100, 50) == data[100:150]
+            assert r.read(0, 10) == data[:10]
+        finally:
+            r.close()
+
+    def test_stream_writer_roundtrip(self, tmp_path):
+        p = tmp_path / "o.bin"
+        w = binary.make_writer("stream")
+        w.open(str(p))
+        w.resize(100)
+        w.write(10, b"hello")
+        w.write(0, b"AB")
+        w.close()
+        data = p.read_bytes()
+        assert len(data) == 100
+        assert data[10:15] == b"hello" and data[0:2] == b"AB"

@@ -162,3 +162,44 @@ def _clear_caches_each_test():
     yield
     import jax
     jax.clear_caches()
+
+
+class TestDistributedCheckpoint:
+    def test_checkpoint_then_resume_matches_direct(self, tmp_path):
+        """Per-rank --checkpoint then resume_distributed writes the same
+        chunk files as a direct distributed run (runResume parity,
+        mlsgpu-mpi.cpp:349-372)."""
+        from mlsgpu_tpu.parallel.multihost import resume_distributed
+        src = make_source()
+        ckpt = str(tmp_path / "state.ckpt")
+
+        def fn_direct(tr):
+            cfg = small_config(output_split_size=100_000)
+            return reconstruct_distributed(
+                src, cfg, str(tmp_path / "direct.ply"), tr)
+
+        direct_files = sorted(
+            f for fs in run_ranks(2, fn_direct) for f in fs)
+
+        def fn_ckpt(tr):
+            cfg = small_config(output_split_size=100_000, checkpoint=ckpt)
+            return reconstruct_distributed(
+                src, cfg, str(tmp_path / "resumed.ply"), tr)
+
+        assert all(fs == [] for fs in run_ranks(2, fn_ckpt))
+        import os
+        assert os.path.exists(ckpt + ".rank0000")
+        assert os.path.exists(ckpt + ".rank0001")
+
+        def fn_resume(tr):
+            cfg = small_config(output_split_size=100_000)
+            return resume_distributed(ckpt, cfg,
+                                      str(tmp_path / "resumed.ply"), tr)
+
+        resumed_files = sorted(
+            f for fs in run_ranks(2, fn_resume) for f in fs)
+        assert len(resumed_files) == len(direct_files)
+        for df, rf in zip(direct_files, resumed_files):
+            dv, dt = ply.read_mesh(df)
+            rv, rt = ply.read_mesh(rf)
+            assert (len(dv), len(dt)) == (len(rv), len(rt))
