@@ -151,16 +151,16 @@ def block_result_to_input(result: BlockResult, bucket: bucket_mod.Bucket
     from mlsgpu_tpu.pipeline.streamer import PrefetchedResult
     with stats.timer("readback.mesh"):
         if getattr(result, "packed", None) is not None:
-            # Single packed transfer (ops/block._pack_readback layout).
+            # Single packed transfer (ops/block._pack_readback layout:
+            # [tris | external keys | verts]).
             ne = nv - fe
             flat = np.asarray(result.packed)
-            v_end = 3 * nv
-            k_end = v_end + 2 * ne
-            verts = flat[:v_end].view(np.float32).reshape(nv, 3)
-            keypairs = flat[v_end:k_end].reshape(ne, 2).astype(np.int64)
+            k_end = ni + 2 * ne
+            tris = flat[:ni].view(np.int32).reshape(ni // 3, 3)
+            keypairs = flat[ni:k_end].reshape(ne, 2).astype(np.int64)
             hi, lo = keypairs[:, 0], keypairs[:, 1]
-            tris = (flat[k_end:k_end + ni].view(np.int32)
-                    .reshape(ni // 3, 3))
+            verts = (flat[k_end:k_end + 3 * nv].view(np.float32)
+                     .reshape(nv, 3))
         elif isinstance(result, PrefetchedResult):
             # Arrays are already pow2-prefix slices with host copies in
             # flight (copy_to_host_async at force time) — re-slicing here
