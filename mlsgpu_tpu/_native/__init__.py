@@ -41,8 +41,12 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) and not _build():
-            return None
+        src = os.path.join(_HERE, "native.cpp")
+        stale = (os.path.exists(_SO) and os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_SO))
+        if (not os.path.exists(_SO) or stale) and not _build():
+            if not os.path.exists(_SO):
+                return None
         try:
             lib = ctypes.CDLL(_SO)
         except OSError:
@@ -61,6 +65,10 @@ def get_lib():
         lib.mls_keymap_lookup.argtypes = [ctypes.c_void_p, _I64,
                                           ctypes.c_int64, _I64]
         lib.mls_keymap_items.argtypes = [ctypes.c_void_p, _I64, _I64]
+        lib.mls_blob_rle.restype = ctypes.c_int64
+        lib.mls_blob_rle.argtypes = [
+            _F32, ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
+            ctypes.c_int64, _I64, _I64, _I64, _I64, _I64, _I64, _I64]
         lib.mls_decode_splats.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, _I64,
             ctypes.c_float, ctypes.c_float, _F32]
@@ -205,3 +213,28 @@ def decode_splats(buf: bytes, n: int, stride: int, offsets: np.ndarray,
                           np.float32(smooth), np.float32(max_radius),
                           _ptr(out, _F32))
     return out
+
+
+def blob_rle(chunk: np.ndarray, first_id: int, inv_spacing: float,
+             micro: int, carry: np.ndarray, bbox: np.ndarray,
+             nonfinite: np.ndarray):
+    """Native single-pass blob RLE over one splat chunk; returns
+    (starts, counts, lo, hi) for the runs closed within the chunk, or None
+    when the library is unavailable. carry/bbox/nonfinite are int64 arrays
+    mutated in place (run state across chunks)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    chunk = np.ascontiguousarray(chunk, dtype=np.float32)
+    n = len(chunk)
+    out_start = np.empty(n + 1, np.int64)
+    out_count = np.empty(n + 1, np.int64)
+    out_lo = np.empty((n + 1, 3), np.int64)
+    out_hi = np.empty((n + 1, 3), np.int64)
+    k = lib.mls_blob_rle(
+        chunk.ctypes.data_as(_F32), n, first_id,
+        ctypes.c_float(inv_spacing), micro,
+        _ptr(carry, _I64), _ptr(bbox, _I64), _ptr(nonfinite, _I64),
+        _ptr(out_start, _I64), _ptr(out_count, _I64),
+        _ptr(out_lo, _I64), _ptr(out_hi, _I64))
+    return out_start[:k], out_count[:k], out_lo[:k], out_hi[:k]

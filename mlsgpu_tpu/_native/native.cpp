@@ -181,4 +181,80 @@ void mls_decode_splats(const char* buf, int64_t n, int64_t stride,
     }
 }
 
+// ---------------------------------------------------------------- blob RLE
+// One pass of the blob precompute (pipeline/blobs.py, the reference's
+// FastBlobSet::computeBlobs src/splat_set_impl.h:669-726): per-splat
+// microblock ranges, run-length encoding against the carried run, cell
+// bounding box and non-finite count. Float expressions mirror the numpy
+// path exactly (f32 subtract/multiply then floorf) so the python and
+// native paths produce identical blobs.
+static inline int64_t floordiv_i64(int64_t a, int64_t b) {
+    int64_t q = a / b;
+    return (a % b != 0 && ((a < 0) != (b < 0))) ? q - 1 : q;
+}
+
+int64_t mls_blob_rle(const float* splats, int64_t n, int64_t first_id,
+                     float inv_spacing, int64_t micro,
+                     int64_t* carry,      // [valid, start, count, lo0..2, hi0..2]
+                     int64_t* bbox,       // [min0..2, max0..2] (in/out)
+                     int64_t* nonfinite,  // in/out
+                     int64_t* out_start, int64_t* out_count,
+                     int64_t* out_lo, int64_t* out_hi) {
+    int64_t k = 0;
+    for (int64_t i = 0; i < n; i++) {
+        const float* s = splats + i * 8;
+        bool finite = true;
+        for (int j = 0; j < 8; j++) finite = finite && std::isfinite(s[j]);
+        finite = finite && (s[3] > 0.0f);
+        if (!finite) {
+            (*nonfinite)++;
+            if (carry[0]) {  // close the carried run
+                out_start[k] = carry[1];
+                out_count[k] = carry[2];
+                for (int a = 0; a < 3; a++) {
+                    out_lo[k * 3 + a] = carry[3 + a];
+                    out_hi[k * 3 + a] = carry[6 + a];
+                }
+                k++;
+                carry[0] = 0;
+            }
+            continue;
+        }
+        int64_t mlo[3], mhi[3];
+        for (int a = 0; a < 3; a++) {
+            float p = s[a], r = s[3];
+            int64_t lo_c = (int64_t)std::floor((double)(float)((p - r) * inv_spacing));
+            int64_t hi_c = (int64_t)std::floor((double)(float)((p + r) * inv_spacing));
+            if (lo_c < bbox[a]) bbox[a] = lo_c;
+            if (hi_c > bbox[3 + a]) bbox[3 + a] = hi_c;
+            mlo[a] = floordiv_i64(lo_c, micro);
+            mhi[a] = floordiv_i64(hi_c, micro);
+        }
+        bool same = carry[0] != 0;
+        for (int a = 0; a < 3 && same; a++)
+            same = (carry[3 + a] == mlo[a]) && (carry[6 + a] == mhi[a]);
+        if (same) {
+            carry[2]++;
+        } else {
+            if (carry[0]) {
+                out_start[k] = carry[1];
+                out_count[k] = carry[2];
+                for (int a = 0; a < 3; a++) {
+                    out_lo[k * 3 + a] = carry[3 + a];
+                    out_hi[k * 3 + a] = carry[6 + a];
+                }
+                k++;
+            }
+            carry[0] = 1;
+            carry[1] = first_id + i;
+            carry[2] = 1;
+            for (int a = 0; a < 3; a++) {
+                carry[3 + a] = mlo[a];
+                carry[6 + a] = mhi[a];
+            }
+        }
+    }
+    return k;
+}
+
 }  // extern "C"

@@ -92,11 +92,32 @@ def compute_blobs(source: SplatSource, spacing: float, micro_cells: int,
             his.append(cur_hi[None, :])
             cur_lo = None
 
+    # Native one-pass RLE (bounds + runs + bbox at memory speed); the numpy
+    # path below is the fallback and the test oracle for it.
+    from mlsgpu_tpu import _native as nat
+    use_native = nat.available()
+    nat_carry = np.zeros(9, np.int64)
+    nat_bbox = np.concatenate([np.full(3, np.iinfo(np.int64).max),
+                               np.full(3, np.iinfo(np.int64).min)])
+    nat_nonfinite = np.zeros(1, np.int64)
+
     with stats.timer("blobs.time"):
         for first_id, chunk in source.iter_chunks():
             if not len(chunk):
                 continue
             total += len(chunk)
+            if use_native:
+                st, ct, lo, hi = nat.blob_rle(
+                    chunk, int(first_id), float(inv_spacing),
+                    int(micro_cells), nat_carry, nat_bbox, nat_nonfinite)
+                if len(st):
+                    starts.append(st)
+                    counts.append(ct)
+                    los.append(lo)
+                    his.append(hi)
+                if progress is not None:
+                    progress += len(chunk)
+                continue
             lo_c, hi_c, finite = _splat_cell_bounds(chunk, inv_spacing)
             num_nonfinite += int(len(chunk) - finite.sum())
             mlo = np.floor_divide(lo_c, micro_cells)
@@ -145,7 +166,17 @@ def compute_blobs(source: SplatSource, spacing: float, micro_cells: int,
                     cur_lo, cur_hi = mlo[last], mhi[last]
             if progress is not None:
                 progress += len(chunk)
-    close_run()
+    if use_native:
+        if nat_carry[0]:
+            starts.append(nat_carry[1:2].copy())
+            counts.append(nat_carry[2:3].copy())
+            los.append(nat_carry[3:6].copy()[None, :])
+            his.append(nat_carry[6:9].copy()[None, :])
+        cell_min = nat_bbox[0:3]
+        cell_max = nat_bbox[3:6]
+        num_nonfinite = int(nat_nonfinite[0])
+    else:
+        close_run()
 
     if not starts:
         raise ValueError("no finite splats in input")

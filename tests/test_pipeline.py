@@ -322,3 +322,30 @@ class TestSparseBucketing:
         with pytest.raises(DensityError):
             bucket_mod.bucket_regions_sparse(codes, counts, 4,
                                              info.micro_dims, 63, 100)
+
+
+def test_native_blob_rle_matches_numpy():
+    """The C++ one-pass blob RLE must match the numpy path bitwise
+    (same f32 floor expressions, same run/bbox/nonfinite semantics)."""
+    from mlsgpu_tpu import _native as nat
+    if not nat.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(9)
+    splats = oracle.sphere_cloud([1.0, -2.0, 0.5], 2.0, 30000, 0.1, rng)
+    splats[17, 1] = np.nan
+    splats[1000, 3] = -0.5
+    splats[2000, 3] = np.inf
+    src = SequenceSource(splats)
+    a = blobs_mod.compute_blobs(src, 0.05, 16)
+    orig = nat.available
+    nat.available = lambda: False
+    try:
+        b = blobs_mod.compute_blobs(src, 0.05, 16)
+    finally:
+        nat.available = orig
+    np.testing.assert_array_equal(a.blobs.start, b.blobs.start)
+    np.testing.assert_array_equal(a.blobs.count, b.blobs.count)
+    np.testing.assert_array_equal(a.blobs.lo, b.blobs.lo)
+    np.testing.assert_array_equal(a.blobs.hi, b.blobs.hi)
+    assert a.grid.extents == b.grid.extents
+    assert a.num_nonfinite == b.num_nonfinite == 3
