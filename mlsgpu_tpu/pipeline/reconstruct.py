@@ -16,7 +16,7 @@ DeviceWorkerGroup's ship-out-when-full loop).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, replace as dc_replace
+from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
 import jax
@@ -30,7 +30,6 @@ from mlsgpu_tpu.pipeline import blobs as blobs_mod
 from mlsgpu_tpu.pipeline import bucket as bucket_mod
 from mlsgpu_tpu.pipeline.mesher import BlockInput, OOCMesher
 from mlsgpu_tpu.utils import logging as log
-from mlsgpu_tpu.utils.errors import CapacityError
 from mlsgpu_tpu.utils.misc import next_pow2
 from mlsgpu_tpu.utils.progress import NullProgress, ProgressDisplay
 from mlsgpu_tpu.utils.statistics import get_registry
@@ -95,6 +94,7 @@ def run_block(splats_padded: np.ndarray, valid: np.ndarray,
         args = {k: jax.device_put(v, device) for k, v in args.items()}
 
     from mlsgpu_tpu.ops.block import resolve_mls_backend
+    from mlsgpu_tpu.pipeline.streamer import _check_overflow
     backend = resolve_mls_backend(getattr(cfg, "mls_backend", "auto"))
     while True:
         result = block_step(
@@ -104,29 +104,11 @@ def run_block(splats_padded: np.ndarray, valid: np.ndarray,
             max_candidates=caps.max_candidates,
             cell_cap=caps.cell_cap, vertex_cap=caps.vertex_cap,
             index_cap=caps.index_cap, fit_shape=cfg.fit_shape,
-            mls_backend=backend)
-        mt = int(result.max_tile_candidates)
-        nc = int(result.num_cells)
-        nuw = int(result.num_unwelded)
-        ni = int(result.num_indices)
-        retry = False
-        if mt > caps.max_candidates:
-            caps.max_candidates = next_pow2(mt)
-            retry = True
-        if nc > caps.cell_cap:
-            caps.cell_cap = next_pow2(nc)
-            retry = True
-        if nuw > caps.vertex_cap:
-            caps.vertex_cap = next_pow2(nuw)
-            retry = True
-        if ni > caps.index_cap:
-            caps.index_cap = 3 * next_pow2(ni // 3 + 1)
-            retry = True
-        if not retry:
+            mls_backend=backend, occ_tile_cap=caps.occ_tile_cap)
+        if not _check_overflow(result, caps):
             return result
         stats.counter("device.capRetries").add(1)
-        log.info(f"block cap overflow (candidates={mt}, cells={nc}, "
-                 f"verts={nuw}, inds={ni}); retrying with larger caps")
+        log.info("block cap overflow; retrying with larger caps")
 
 
 def _fetch_prefix(arr, n: int) -> np.ndarray:
