@@ -98,7 +98,13 @@ def main():
         "vs_baseline": round(msplats / BASELINE_MSPLATS, 3),
     }
     print(json.dumps(result))
-    print(f"# elapsed {elapsed:.2f}s for {N_SPLATS} splats -> {files}",
+    # secondary metric from BASELINE.md's protocol: grid-cell throughput
+    from mlsgpu_tpu.pipeline.blobs import compute_blobs
+    info = compute_blobs(SequenceSource(splats), float(spacing),
+                         cfg.micro_cells)
+    ncells = int(np.prod(info.grid.shape_cells))
+    print(f"# elapsed {elapsed:.2f}s for {N_SPLATS} splats -> {files}; "
+          f"{ncells / elapsed / 1e6:.1f} Mcells/s over {info.grid.shape_cells}",
           file=sys.stderr)
     get_registry().dump(sys.stderr)
 

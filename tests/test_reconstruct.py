@@ -155,3 +155,19 @@ def _clear_caches_each_test():
     yield
     import jax
     jax.clear_caches()
+
+
+@pytest.mark.slow
+def test_tiny_reorder_budget_spills_and_matches(tmp_path):
+    """A tiny --mem-reorder forces the async spill path during add and
+    disk reads during write; output must match the in-memory run."""
+    src = make_sphere_source(6000, sr=0.4)
+    out_mem = str(tmp_path / "mem.ply")
+    out_spill = str(tmp_path / "spill.ply")
+    reconstruct(src, small_config(), out_mem)
+    reconstruct(src, small_config(mem_reorder=1 << 14), out_spill)
+    v1, t1 = ply.read_mesh(out_mem)
+    v2, t2 = ply.read_mesh(out_spill)
+    assert len(v1) == len(v2) and len(t1) == len(t2)
+    np.testing.assert_array_equal(np.sort(v1.view("u4").ravel()),
+                                  np.sort(v2.view("u4").ravel()))
