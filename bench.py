@@ -74,17 +74,11 @@ def main():
     t0 = time.monotonic()
     reconstruct(src, cfg, out, show_progress=False, caps=caps)
     warm_elapsed = time.monotonic() - t0
-    # Preliminary result in case the harness times out before the clean
-    # measured run finishes (a cold compile cache makes the warm run slow);
-    # the final JSON line below supersedes this one.
+    # Preliminary note (stderr: stdout must carry exactly ONE JSON line for
+    # the harness) in case it times out before the clean measured run.
     warm_msplats = N_SPLATS / warm_elapsed / 1e6
-    print(json.dumps({
-        "metric": "end-to-end points->manifold-mesh throughput "
-                  "(single chip, incl. compile)",
-        "value": round(warm_msplats, 3),
-        "unit": "Msplats/s",
-        "vs_baseline": round(warm_msplats / BASELINE_MSPLATS, 3),
-    }), flush=True)
+    print(f"# warm run (incl. compile): {warm_elapsed:.2f}s = "
+          f"{warm_msplats:.3f} Msplats/s", file=sys.stderr, flush=True)
 
     t0 = time.monotonic()
     files = reconstruct(src, cfg, out, show_progress=False, caps=caps)
