@@ -57,6 +57,73 @@ def default_occ_tile_cap(cfg) -> int:
     return max(min(num_tiles, 512), num_tiles // 8)
 
 
+def _caps_cache_path() -> str:
+    import os
+    return os.path.join(
+        os.path.expanduser(os.environ.get(
+            "MLSGPU_TPU_CACHE_DIR", "~/.cache/mlsgpu_tpu")), "caps.json")
+
+
+def _caps_cache_key(cfg) -> str:
+    # max_device_splats proxies bucket size: caps grown by a dense run
+    # should not inflate the programs of an unrelated small run.
+    return (f"L{cfg.levels}.S{cfg.subsampling}.{cfg.fit_shape}"
+            f".M{cfg.max_device_splats}")
+
+
+def load_cached_caps(cfg) -> "BlockCaps":
+    """Start from the largest caps any previous run with this geometry
+    grew to: every cap growth costs a retry plus a fresh block_step
+    compile, so persisting them makes repeat runs single-program (the
+    compile-cache companion; see cli._enable_compile_cache)."""
+    import json
+    import os
+    caps = BlockCaps(cfg.tile_candidates, cfg.cell_cap, cfg.vertex_cap,
+                     cfg.index_cap, occ_tile_cap=default_occ_tile_cap(cfg))
+    try:
+        with open(_caps_cache_path()) as f:
+            saved = json.load(f).get(_caps_cache_key(cfg))
+        if saved:
+            caps.max_candidates = max(caps.max_candidates,
+                                      int(saved.get("max_candidates", 0)))
+            caps.cell_cap = max(caps.cell_cap, int(saved.get("cell_cap", 0)))
+            caps.vertex_cap = max(caps.vertex_cap,
+                                  int(saved.get("vertex_cap", 0)))
+            caps.index_cap = max(caps.index_cap,
+                                 int(saved.get("index_cap", 0)))
+            caps.occ_tile_cap = max(caps.occ_tile_cap,
+                                    int(saved.get("occ_tile_cap", 0)))
+    except (OSError, ValueError, KeyError):
+        pass
+    return caps
+
+
+def save_cached_caps(cfg, caps: "BlockCaps") -> None:
+    import json
+    import os
+    path = _caps_cache_path()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            data = {}
+        data[_caps_cache_key(cfg)] = {
+            "max_candidates": caps.max_candidates,
+            "cell_cap": caps.cell_cap,
+            "vertex_cap": caps.vertex_cap,
+            "index_cap": caps.index_cap,
+            "occ_tile_cap": caps.occ_tile_cap,
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+
+
 def prepare_block_inputs(splats: np.ndarray, bucket: bucket_mod.Bucket,
                          grid, pad_to: Optional[int] = None):
     """Convert world-frame splats to padded device inputs in the global grid
@@ -191,8 +258,7 @@ def reconstruct(source: SplatSource, cfg: ReconstructConfig, output: str,
     mesher = mesher or OOCMesher(info.grid, prune=cfg.fit_prune,
                                  reorder_budget=cfg.mem_reorder)
     if caps is None:
-        caps = BlockCaps(cfg.tile_candidates, cfg.cell_cap, cfg.vertex_cap,
-                         cfg.index_cap, occ_tile_cap=default_occ_tile_cap(cfg))
+        caps = load_cached_caps(cfg)
 
     total = sum(b.num_splats for b in buckets)
     progress = (ProgressDisplay(total, label="reconstructing")
@@ -216,6 +282,7 @@ def reconstruct(source: SplatSource, cfg: ReconstructConfig, output: str,
                                        ext_keys=block.ext_keys, triangles=t)
                 mesher.add(block)
             progress += bucket.num_splats
+    save_cached_caps(cfg, caps)
 
     if cfg.checkpoint:
         mesher.checkpoint(cfg.checkpoint)

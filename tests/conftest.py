@@ -7,6 +7,14 @@ and pins JAX_PLATFORMS=axon, so the env var alone cannot force CPU —
 jax.config.update after import can (backends initialize lazily)."""
 
 import os
+import tempfile
+
+# Isolate the persistent caps cache (pipeline/reconstruct.py) per test
+# session: caps grown by TPU/bench runs must not leak into CPU test
+# programs (bigger static shapes -> slower compiles, cross-run coupling).
+os.environ.setdefault(
+    "MLSGPU_TPU_CACHE_DIR",
+    tempfile.mkdtemp(prefix="mlsgpu_tpu_test_cache."))
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:

@@ -349,3 +349,21 @@ def test_native_blob_rle_matches_numpy():
     np.testing.assert_array_equal(a.blobs.hi, b.blobs.hi)
     assert a.grid.extents == b.grid.extents
     assert a.num_nonfinite == b.num_nonfinite == 3
+
+
+def test_caps_cache_roundtrip(tmp_path, monkeypatch):
+    from mlsgpu_tpu.config import ReconstructConfig
+    from mlsgpu_tpu.pipeline import reconstruct as rec
+    monkeypatch.setenv("MLSGPU_TPU_CACHE_DIR", str(tmp_path))
+    cfg = ReconstructConfig(levels=4)
+    caps = rec.load_cached_caps(cfg)
+    base_vertex = caps.vertex_cap
+    caps.vertex_cap = base_vertex * 4
+    caps.occ_tile_cap *= 2
+    rec.save_cached_caps(cfg, caps)
+    again = rec.load_cached_caps(cfg)
+    assert again.vertex_cap == base_vertex * 4
+    assert again.occ_tile_cap == caps.occ_tile_cap
+    # different geometry key is unaffected
+    other = rec.load_cached_caps(ReconstructConfig(levels=5))
+    assert other.vertex_cap == ReconstructConfig(levels=5).vertex_cap
