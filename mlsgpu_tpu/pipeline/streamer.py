@@ -151,6 +151,19 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
     blob_count = info.blobs.count
     grid = info.grid
     error: List[BaseException] = []
+    cancel = threading.Event()
+
+    def _put(item) -> bool:
+        """Blocking put that aborts when the consumer has gone away, so the
+        loader can always be joined (the reference asserts ordered shutdown,
+        src/worker_group.h:287-291)."""
+        while not cancel.is_set():
+            try:
+                load_q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     # One padded shape for the whole run: h2d transfer is cheap (a few
     # ms/MB) but every distinct shape costs a block_step trace+compile
@@ -164,6 +177,8 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
         try:
             from mlsgpu_tpu.pipeline.reconstruct import prepare_block_inputs
             for b in buckets:
+                if cancel.is_set():
+                    return
                 with timeplot.Action("load", worker,
                                      stats.variable("loader.time")):
                     ranges = merge_ranges(
@@ -172,11 +187,12 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
                     splats = source.read_ranges(ranges)
                     padded, valid = prepare_block_inputs(splats, b, grid,
                                                          pad_to=pad_to)
-                load_q.put((b, padded, valid))
+                if not _put((b, padded, valid)):
+                    return
         except BaseException as e:  # propagate to consumer
             error.append(e)
         finally:
-            load_q.put(_SENTINEL)
+            _put(_SENTINEL)
 
     thread = threading.Thread(target=loader, name="loader", daemon=True)
     thread.start()
@@ -201,6 +217,11 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
         while True:
             item = load_q.get()
             if item is _SENTINEL:
+                # A loader failure is raised promptly, before draining the
+                # in-flight window: an error mid-run must cancel the run,
+                # not ride behind up to `window` forced blocks.
+                if error:
+                    raise error[0]
                 break
             b, padded, valid = item
             device = devices[dev_idx % len(devices)]
@@ -212,7 +233,6 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
                 yield force(inflight.popleft())
         while inflight:
             yield force(inflight.popleft())
-        if error:
-            raise error[0]
     finally:
-        thread.join(timeout=5.0)
+        cancel.set()
+        thread.join()

@@ -157,14 +157,26 @@ class Peak(Statistic):
 
 class TimerStat(Variable):
     """A Variable of elapsed seconds, usable as a context manager
-    (reference Statistics::Timer)."""
+    (reference Statistics::Timer).
+
+    Instances are shared via the registry, so the in-flight start times are
+    kept on a per-thread stack: two threads (or nested uses on one thread)
+    timing the same named stat do not corrupt each other.
+    """
+
+    def __init__(self, name: str):
+        super().__init__(name)
+        self._local = threading.local()
 
     def __enter__(self) -> "TimerStat":
-        self._start = time.monotonic()
+        stack = getattr(self._local, "starts", None)
+        if stack is None:
+            stack = self._local.starts = []
+        stack.append(time.monotonic())
         return self
 
     def __exit__(self, *exc) -> None:
-        self.add(time.monotonic() - self._start)
+        self.add(time.monotonic() - self._local.starts.pop())
 
 
 _TYPES = {"counter": Counter, "variable": Variable, "peak": Peak}
