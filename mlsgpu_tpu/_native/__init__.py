@@ -72,6 +72,9 @@ def get_lib():
         lib.mls_decode_splats.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, _I64,
             ctypes.c_float, ctypes.c_float, _F32]
+        lib.mls_decode_splats_mt.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, _I64,
+            ctypes.c_float, ctypes.c_float, _F32, ctypes.c_int64]
         _lib = lib
         return _lib
 
@@ -203,15 +206,25 @@ def uf_merge_pairs(parent: np.ndarray, size: np.ndarray, metas,
 
 
 def decode_splats(buf: bytes, n: int, stride: int, offsets: np.ndarray,
-                  smooth: float, max_radius: float):
+                  smooth: float, max_radius: float, nthreads: int = 0):
+    """Decode n raw PLY records; nthreads > 1 splits rows across native
+    threads (the reference's OpenMP decode, src/splat_set.cpp:213).
+    nthreads=0 uses the hardware core count."""
     lib = get_lib()
     if lib is None:
         return None
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
     out = np.empty((n, 8), np.float32)
-    lib.mls_decode_splats(buf, n, stride, _ptr(offsets, _I64),
-                          np.float32(smooth), np.float32(max_radius),
-                          _ptr(out, _F32))
+    if nthreads == 0:
+        nthreads = os.cpu_count() or 1
+    if nthreads > 1:
+        lib.mls_decode_splats_mt(buf, n, stride, _ptr(offsets, _I64),
+                                 np.float32(smooth), np.float32(max_radius),
+                                 _ptr(out, _F32), int(nthreads))
+    else:
+        lib.mls_decode_splats(buf, n, stride, _ptr(offsets, _I64),
+                              np.float32(smooth), np.float32(max_radius),
+                              _ptr(out, _F32))
     return out
 
 

@@ -13,6 +13,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cmath>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -162,10 +163,10 @@ void mls_keymap_items(void* h, int64_t* out_keys, int64_t* out_vals) {
 // [x y z radius nx ny nz quality], applying the radius clamp + smooth scale
 // and quality = 1/r^2 (src/fast_ply.cpp:334-350). offsets: byte offsets of
 // x,y,z,nx,ny,nz,radius within a record.
-void mls_decode_splats(const char* buf, int64_t n, int64_t stride,
-                       const int64_t* offsets, float smooth,
-                       float max_radius, float* out) {
-    for (int64_t i = 0; i < n; i++) {
+static void decode_range(const char* buf, int64_t lo, int64_t hi,
+                         int64_t stride, const int64_t* offsets,
+                         float smooth, float max_radius, float* out) {
+    for (int64_t i = lo; i < hi; i++) {
         const char* rec = buf + i * stride;
         float f[7];
         for (int j = 0; j < 7; j++)
@@ -179,6 +180,32 @@ void mls_decode_splats(const char* buf, int64_t n, int64_t stride,
         o[4] = f[3]; o[5] = f[4]; o[6] = f[5];
         o[7] = 1.0f / (r * r);
     }
+}
+
+void mls_decode_splats(const char* buf, int64_t n, int64_t stride,
+                       const int64_t* offsets, float smooth,
+                       float max_radius, float* out) {
+    decode_range(buf, 0, n, stride, offsets, smooth, max_radius, out);
+}
+
+// Parallel decode over row ranges (the reference's OpenMP decode loop,
+// src/splat_set.cpp:213). Rows are independent, so a plain static split
+// across std::threads suffices; callers pass nthreads = hardware cores.
+void mls_decode_splats_mt(const char* buf, int64_t n, int64_t stride,
+                          const int64_t* offsets, float smooth,
+                          float max_radius, float* out, int64_t nthreads) {
+    if (nthreads <= 1 || n < 1 << 16) {
+        decode_range(buf, 0, n, stride, offsets, smooth, max_radius, out);
+        return;
+    }
+    std::vector<std::thread> threads;
+    threads.reserve((size_t)nthreads);
+    for (int64_t t = 0; t < nthreads; t++) {
+        int64_t lo = n * t / nthreads, hi = n * (t + 1) / nthreads;
+        threads.emplace_back(decode_range, buf, lo, hi, stride, offsets,
+                             smooth, max_radius, out);
+    }
+    for (auto& th : threads) th.join();
 }
 
 // ---------------------------------------------------------------- blob RLE

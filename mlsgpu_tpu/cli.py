@@ -74,6 +74,23 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--mem-reorder", type=parse_capacity, default=d.mem_reorder,
                    help="mesher reorder-window byte budget before spilling "
                         "to disk [%(default)s]")
+    a.add_argument("--mem-load-splats", type=parse_capacity,
+                   default=d.mem_load_splats,
+                   help="loader queue byte budget [%(default)s]")
+    a.add_argument("--mem-host-splats", type=parse_capacity,
+                   default=d.mem_host_splats,
+                   help="bytes of splats resident on the host (queue + "
+                        "in-flight) [%(default)s]")
+    a.add_argument("--mem-bucket-splats", type=parse_capacity,
+                   default=d.mem_bucket_splats,
+                   help="splat byte budget per bucket [%(default)s]")
+    a.add_argument("--mem-mesh", type=parse_capacity, default=d.mem_mesh,
+                   help="in-flight mesh readback byte budget [%(default)s]")
+    a.add_argument("--mem-blobs", type=parse_capacity, default=d.mem_blobs,
+                   help="blob records kept in RAM before spilling to the "
+                        "disk-resident blob store [%(default)s]")
+    a.add_argument("--max-split", type=parse_capacity, default=d.max_split,
+                   help="max subdivisions per bucketing pass [%(default)s]")
     a.add_argument("--decache", action="store_true",
                    help="evict inputs from the page cache first (cold-cache runs)")
 
@@ -94,6 +111,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "into DIR (TensorBoard trace; the reference's "
                         "--statistics-cl event timing analogue)")
     o.add_argument("--statistics-file", help="write statistics to file")
+    o.add_argument("--statistics-device", action="store_true",
+                   help="time each device stage (binning/MLS/marching/weld) "
+                        "into the statistics registry; fences the pipeline, "
+                        "so profiling only (the reference's --statistics-cl, "
+                        "src/statistics_cl.h:43-93)")
     o.add_argument("--timeplot", help="write timing trace to file")
     o.add_argument("--quiet", action="store_true")
     o.add_argument("--debug", action="store_true")
@@ -119,6 +141,12 @@ def config_from_args(args) -> ReconstructConfig:
         output_split_size=args.split_size,
         mls_backend=args.mls_backend,
         mem_reorder=args.mem_reorder,
+        mem_load_splats=args.mem_load_splats,
+        mem_host_splats=args.mem_host_splats,
+        mem_bucket_splats=args.mem_bucket_splats,
+        mem_mesh=args.mem_mesh,
+        mem_blobs=args.mem_blobs,
+        max_split=args.max_split,
         decache=args.decache,
         checkpoint=args.checkpoint,
         resume=args.resume,
@@ -126,6 +154,7 @@ def config_from_args(args) -> ReconstructConfig:
         timeplot=args.timeplot,
         statistics=args.statistics,
         statistics_file=args.statistics_file,
+        statistics_device=args.statistics_device,
         progress=not args.no_progress,
     )
 

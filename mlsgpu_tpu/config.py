@@ -46,12 +46,16 @@ class ReconstructConfig:
     leaf_cells: int = 63             # microblock cap for bucketing
     max_split: int = 2 ** 30         # max subdivisions in one bucketing level
 
-    # --- memory budgets (host, bytes) ---
-    mem_load_splats: int = 256 * 1024 ** 2
-    mem_host_splats: int = 512 * 1024 ** 2
-    mem_bucket_splats: int = 64 * 1024 ** 2
-    mem_mesh: int = 512 * 1024 ** 2
-    mem_reorder: int = 2 * 1024 ** 3
+    # --- memory budgets (host, bytes; reference defaults
+    # src/mlsgpu_core.cpp:130-137) ---
+    mem_load_splats: int = 256 * 1024 ** 2   # loader queue byte budget
+    mem_host_splats: int = 512 * 1024 ** 2   # queue + in-flight splat bytes
+    mem_bucket_splats: int = 64 * 1024 ** 2  # splat bytes per bucket
+    mem_mesh: int = 512 * 1024 ** 2          # in-flight mesh readback bytes
+    mem_reorder: int = 2 * 1024 ** 3         # mesher reorder buffer
+    mem_blobs: int = 512 * 1024 ** 2         # blob records in RAM before the
+    # disk-resident store takes over (the reference always uses temp files,
+    # src/splat_set.h:824-849)
 
     # --- device caps (TPU static shapes; overflow => retry doubled) ---
     max_device_splats: int = 1 << 20   # splats resident per block step
@@ -70,6 +74,9 @@ class ReconstructConfig:
     timeplot: Optional[str] = None
     statistics: bool = False
     statistics_file: Optional[str] = None
+    statistics_device: bool = False  # per-stage device timing (the
+    # reference's --statistics-cl event timing, src/statistics_cl.h:43-93);
+    # fences between stages, so use for profiling only
     progress: bool = True
     decache: bool = False
 
@@ -99,6 +106,16 @@ class ReconstructConfig:
             raise InvalidOption("levels + subsampling too large")
         if self.leaf_cells < 1:
             raise InvalidOption("leaf_cells must be >= 1")
+        # budget ordering (reference validateOptions,
+        # src/mlsgpu_core.cpp:398-457)
+        if self.mem_bucket_splats > self.mem_load_splats:
+            raise InvalidOption(
+                "mem_bucket_splats must not exceed mem_load_splats")
+        if self.mem_load_splats > self.mem_host_splats:
+            raise InvalidOption(
+                "mem_load_splats must not exceed mem_host_splats")
+        if self.max_split < 8:
+            raise InvalidOption("max_split must be at least 8")
 
     @property
     def block_corners(self) -> int:

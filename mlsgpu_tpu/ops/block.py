@@ -10,10 +10,11 @@ bucket region and produces a welded block mesh plus overflow diagnostics.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mlsgpu_tpu.ops import binning, marching, mls, weld
 
@@ -31,45 +32,221 @@ class BlockResult(NamedTuple):
     num_cells: jnp.ndarray            # () int32 occupied cells
     num_unwelded: jnp.ndarray         # () int32 pre-weld vertices
     num_occ_tiles: jnp.ndarray = None  # () int32 (pallas tile compaction)
-    # Optional single-transfer readback image (pack_output=True): flat u32
-    # [triangle index bits (num_indices) | external key hi,lo pairs
-    #  (2*(nv-fe)) | vertex f32 bits (3*nv)], live prefix length
-    # num_indices + 2*(nv-fe) + 3*nv. One d2h transfer replaces four and
-    # skips the internal vertices' keys entirely.
+    # Optional single-transfer quantized readback image (pack_output=True):
+    # flat u32 [index region | vertex region] per PackFormat — one d2h
+    # transfer replaces four, indices ride 16/21 bits, vertices ride
+    # edge-key + t16 encoding, and no separate key region is needed at all
+    # (the host recomputes weld keys from the vertex encoding).
     packed: jnp.ndarray = None
 
 
-def _pack_readback(welded, vertex_cap: int, index_cap: int) -> jnp.ndarray:
-    """Compact the welded mesh into one flat u32 buffer (the packing
-    analogue of the reference's 3-event enqueueReadMesh, src/mesh.h:141-179,
-    sized to the live counts).
+class PackFormat(NamedTuple):
+    """Static layout of the quantized single-transfer readback image.
 
-    Three dynamic_update_slice copies in slop-safe order: each region is
-    written at the END of the previous region's live prefix, so its static
-    -size slop only overwrites the previous write's dead tail (an
-    elementwise gather formulation was ~20x slower — TPU random gathers run
-    at ~20ns/element)."""
+    The packed buffer is `[index region | vertex region]`, both u32-word
+    aligned, live-prefix sized (the quantized analogue of the reference's
+    3-event enqueueReadMesh, src/mesh.h:141-179):
+
+    * index region — welded triangle indices:
+        - 'u16':   one u16 per index (vertex_cap <= 2^16), 2 per word;
+        - 'u21x3': 3 x 21-bit indices per triangle in 2 words
+                   (vertex_cap <= 2^21);
+        - 'u32':   raw i32 bits (fallback).
+    * vertex region — `vertex_words` u16 fields per welded vertex. Every
+      marching vertex lies on a cell edge, so it is fully described by its
+      edge key plus the interpolation parameter t: per axis, the doubled
+      edge-midpoint coordinate kl (from the vertex key) gives an integer
+      base = kl>>1 (coord_bits wide), a parity bit (kl odd <=> the vertex
+      moves along this axis), and a direction bit (the fraction is 1-t
+      rather than t); one shared t is sent as 16-bit fixed point. The host
+      reconstructs both the f32 position (base + {0, t, 1-t}) and the
+      64-bit global weld key (2*base + parity + 2*cell_origin), so the
+      external-keys region of the naive format disappears entirely.
+        - vertex_words == 3 (coord_bits <= 8, i.e. blocks up to 256^3
+          corners): w[a] = base_a | parity_a<<8 | dir_a<<9 | t16_part<<10,
+          where t16 is split 6+6+4 across the three words' high bits;
+        - vertex_words == 4 (coord_bits <= 13, the reference's 2^13 block
+          limit, src/marching.h:117-141): w[a] = base_a | parity_a<<13 |
+          dir_a<<14, and w[3] = t16.
+    Positions are quantized to ~2^-16 of a cell; weld keys and topology
+    stay exact.
+    """
+    index_mode: str
+    vertex_words: int
+    coord_bits: int
+
+    def index_cap_words(self, index_cap: int) -> int:
+        if self.index_mode == "u16":
+            return (index_cap + 1) // 2
+        if self.index_mode == "u21x3":
+            return 2 * (index_cap // 3)
+        return index_cap
+
+    def index_words(self, num_indices: int) -> int:
+        if self.index_mode == "u16":
+            return (num_indices + 1) // 2
+        if self.index_mode == "u21x3":
+            return 2 * (num_indices // 3)
+        return num_indices
+
+    def vertex_region_words(self, num_vertices: int) -> int:
+        return (num_vertices * self.vertex_words + 1) // 2
+
+    def total_words(self, num_indices: int, num_vertices: int) -> int:
+        return (self.index_words(num_indices)
+                + self.vertex_region_words(num_vertices))
+
+
+def pack_format(levels: int, subsampling: int,
+                vertex_cap: int) -> Optional[PackFormat]:
+    """Choose the static packed layout; None when the block is too large to
+    quantize (beyond the reference's own 2^13-corner block limit)."""
+    coord_bits = levels + subsampling - 1
+    if coord_bits > 13:
+        return None
+    vertex_words = 3 if coord_bits <= 8 else 4
+    if vertex_cap <= 1 << 16:
+        index_mode = "u16"
+    elif vertex_cap <= 1 << 21:
+        index_mode = "u21x3"
+    else:
+        index_mode = "u32"
+    return PackFormat(index_mode, vertex_words, coord_bits)
+
+
+def _key_to_doubled_local(key_hi, key_lo, cell_origin):
+    """Invert ops/marching.py's key packing to the per-axis doubled
+    *block-local* edge-midpoint coordinates (kc_local)."""
+    m21 = jnp.uint32(0x1FFFFF)
+    kx = key_lo & m21
+    ky = ((key_lo >> 21) | ((key_hi & jnp.uint32(0x3FF)) << 11)) & m21
+    kz = (key_hi >> 10) & m21
+    kg = jnp.stack([kx, ky, kz], axis=1).astype(jnp.int32)   # (vc, 3)
+    return kg - 2 * cell_origin[None, :].astype(jnp.int32)
+
+
+def _u16_pairs_to_u32(u16_flat: jnp.ndarray) -> jnp.ndarray:
+    """Little-endian pairing of a flat u16 array into u32 words (host side
+    reads back with ndarray.view(np.uint16))."""
+    return jax.lax.bitcast_convert_type(
+        u16_flat.reshape(-1, 2), jnp.uint32)
+
+
+def _pack_readback(welded, cell_origin, fmt: PackFormat,
+                   vertex_cap: int, index_cap: int) -> jnp.ndarray:
+    """Quantize and compact the welded mesh into one flat u32 buffer.
+
+    Two dynamic_update_slice copies in slop-safe order: the vertex region is
+    written at the END of the index region's live prefix, so its static-size
+    slop only overwrites dead tail (an elementwise gather formulation was
+    ~20x slower — TPU random gathers run at ~20ns/element)."""
     vc = vertex_cap
     nv = welded.num_vertices.astype(jnp.int32)
-    fe = welded.first_external.astype(jnp.int32)
-    ne = nv - fe
 
-    tris_u32 = jax.lax.bitcast_convert_type(
-        welded.triangles, jnp.uint32).reshape(-1)           # (index_cap,)
-    # (hi, lo) interleave, shifted so externals start at element 0; the
-    # zero pad lets dynamic_slice read a full 2*vc window from 2*fe.
-    kv = jnp.stack([welded.key_hi, welded.key_lo], axis=1).reshape(-1)
-    kv_pad = jnp.concatenate([kv, jnp.zeros(2 * vc, jnp.uint32)])
-    keys_ext = jax.lax.dynamic_slice(kv_pad, (2 * fe,), (2 * vc,))
-    verts_u32 = jax.lax.bitcast_convert_type(
-        welded.vertices, jnp.uint32).reshape(-1)            # (3*vc,)
+    # --- index region ------------------------------------------------------
+    if fmt.index_mode == "u16":
+        tri_u16 = welded.triangles.astype(jnp.uint16).reshape(-1)
+        idx_words = _u16_pairs_to_u32(tri_u16)           # (index_cap/2,)
+    elif fmt.index_mode == "u21x3":
+        t = welded.triangles.astype(jnp.uint32)
+        a, bcol, c = t[:, 0], t[:, 1], t[:, 2]
+        w0 = a | ((bcol & jnp.uint32(0x7FF)) << 21)
+        w1 = (bcol >> 11) | (c << 10)
+        idx_words = jnp.stack([w0, w1], axis=1).reshape(-1)
+    else:
+        idx_words = jax.lax.bitcast_convert_type(
+            welded.triangles, jnp.uint32).reshape(-1)
+    ni = welded.num_indices
+    if fmt.index_mode == "u16":
+        live_idx_words = (ni + 1) // 2
+    elif fmt.index_mode == "u21x3":
+        live_idx_words = 2 * (ni // 3)
+    else:
+        live_idx_words = ni
 
-    buf = jnp.zeros(index_cap + 5 * vc, jnp.uint32)
-    buf = jax.lax.dynamic_update_slice(buf, tris_u32, (0,))
-    buf = jax.lax.dynamic_update_slice(buf, keys_ext, (welded.num_indices,))
-    buf = jax.lax.dynamic_update_slice(
-        buf, verts_u32, (welded.num_indices + 2 * ne,))
+    # --- vertex region -----------------------------------------------------
+    kl = _key_to_doubled_local(welded.key_hi, welded.key_lo, cell_origin)
+    parity = kl & 1                                       # (vc, 3)
+    base = kl >> 1
+    f = welded.vertices - base.astype(jnp.float32)        # {0, t, 1-t}
+    ref = jnp.argmax(parity, axis=1)                      # first odd axis
+    t_par = jnp.take_along_axis(f, ref[:, None], axis=1)  # (vc, 1)
+    # fraction equals 1-t (rather than t) on this axis
+    dirb = (parity == 1) & (jnp.abs(f - (1.0 - t_par))
+                            < jnp.abs(f - t_par))
+    t16 = jnp.clip(jnp.round(t_par[:, 0] * 65535.0), 0, 65535
+                   ).astype(jnp.uint32)
+
+    base_u = base.astype(jnp.uint32)
+    par_u = parity.astype(jnp.uint32)
+    dir_u = dirb.astype(jnp.uint32)
+    if fmt.vertex_words == 3:
+        tparts = jnp.stack([t16 & 0x3F, (t16 >> 6) & 0x3F,
+                            (t16 >> 12) & 0xF], axis=1)   # (vc, 3)
+        words = (base_u | (par_u << 8) | (dir_u << 9)
+                 | (tparts << 10)).astype(jnp.uint16)     # (vc, 3)
+    else:
+        w012 = (base_u | (par_u << 13) | (dir_u << 14)).astype(jnp.uint16)
+        words = jnp.concatenate(
+            [w012, t16[:, None].astype(jnp.uint16)], axis=1)  # (vc, 4)
+    vert_words = _u16_pairs_to_u32(words.reshape(-1))
+
+    buf = jnp.zeros(fmt.index_cap_words(index_cap)
+                    + fmt.vertex_region_words(vc), jnp.uint32)
+    buf = jax.lax.dynamic_update_slice(buf, idx_words, (0,))
+    buf = jax.lax.dynamic_update_slice(buf, vert_words, (live_idx_words,))
     return buf
+
+
+def unpack_readback(flat: np.ndarray, num_indices: int, num_vertices: int,
+                    first_external: int, fmt: PackFormat,
+                    cell_origin: np.ndarray):
+    """Host-side decode of _pack_readback's buffer.
+
+    Returns (vertices (nv,3) f32 block-local, triangles (nt,3) i32,
+    ext_keys (nv-fe,) i64 global 63-bit weld keys)."""
+    ni, nv, fe = int(num_indices), int(num_vertices), int(first_external)
+    iw = fmt.index_words(ni)
+    if fmt.index_mode == "u16":
+        tris = (flat[:iw].view(np.uint16)[:ni]
+                .astype(np.int32).reshape(-1, 3))
+    elif fmt.index_mode == "u21x3":
+        w = flat[:iw].reshape(-1, 2)
+        m21 = np.uint32(0x1FFFFF)
+        a = w[:, 0] & m21
+        b = ((w[:, 0] >> 21) | ((w[:, 1] & np.uint32(0x3FF)) << 11)) & m21
+        c = (w[:, 1] >> 10) & m21
+        tris = np.stack([a, b, c], axis=1).astype(np.int32)
+    else:
+        tris = flat[:iw].view(np.int32).reshape(-1, 3)
+
+    vw = fmt.vertex_words
+    words = (flat[iw:iw + fmt.vertex_region_words(nv)]
+             .view(np.uint16)[:nv * vw].reshape(nv, vw))
+    if vw == 3:
+        cmask = np.uint16(0xFF)
+        base = (words & cmask).astype(np.int32)
+        parity = ((words >> 8) & 1).astype(np.int32)
+        dirb = ((words >> 9) & 1).astype(bool)
+        tp = (words >> 10).astype(np.uint32)
+        t16 = (tp[:, 0] & 0x3F) | ((tp[:, 1] & 0x3F) << 6) \
+            | ((tp[:, 2] & 0xF) << 12)
+    else:
+        cmask = np.uint16(0x1FFF)
+        base = (words[:, :3] & cmask).astype(np.int32)
+        parity = ((words[:, :3] >> 13) & 1).astype(np.int32)
+        dirb = ((words[:, :3] >> 14) & 1).astype(bool)
+        t16 = words[:, 3].astype(np.uint32)
+
+    t = (t16.astype(np.float32) / np.float32(65535.0))[:, None]
+    frac = np.where(parity == 1, np.where(dirb, 1.0 - t, t),
+                    np.float32(0.0)).astype(np.float32)
+    verts = base.astype(np.float32) + frac
+
+    kg = (2 * base + parity)[fe:] + 2 * np.asarray(cell_origin,
+                                                   np.int64)[None, :]
+    ext_keys = kg[:, 0] | (kg[:, 1] << 21) | (kg[:, 2] << 42)
+    return verts, tris, ext_keys
 
 
 def block_step_body(splats: jnp.ndarray,
@@ -88,7 +265,8 @@ def block_step_body(splats: jnp.ndarray,
                     tile_chunk: int = 32,
                     mls_backend: str = "xla",
                     pack_output: bool = False,
-                    occ_tile_cap: int = 0) -> BlockResult:
+                    occ_tile_cap: int = 0,
+                    device_filter=None) -> BlockResult:
     """Reconstruct one block (un-jitted body; see block_step).
 
     Args:
@@ -130,6 +308,23 @@ def block_step_body(splats: jnp.ndarray,
     welded = weld.weld(mesh.vertices, mesh.key_hi, mesh.key_lo,
                        mesh.triangles, mesh.num_vertices, mesh.num_indices)
 
+    packed = None
+    if device_filter is not None:
+        # Device-side mesh filter chain (the reference's MeshFilterChain,
+        # src/mesh_filter.h:57-170, run before readback): a static jittable
+        # vertex transform in *block-local grid coords*. Filtered vertices
+        # no longer lie on cell edges, so the quantized pack is skipped and
+        # the readback uses the raw arrays (the default grid->world
+        # ScaleBias stays folded into the final write instead — cheaper
+        # than any device-side form once the pack quantization exists).
+        welded = welded._replace(
+            vertices=device_filter(welded.vertices, cell_origin))
+    elif pack_output:
+        fmt = pack_format(levels, subsampling, vertex_cap)
+        if fmt is not None:
+            packed = _pack_readback(welded, cell_origin, fmt,
+                                    vertex_cap, index_cap)
+
     return BlockResult(
         vertices=welded.vertices,
         key_hi=welded.key_hi,
@@ -142,8 +337,7 @@ def block_step_body(splats: jnp.ndarray,
         num_cells=mesh.num_cells,
         num_unwelded=mesh.num_vertices,
         num_occ_tiles=n_occ,
-        packed=(_pack_readback(welded, vertex_cap, index_cap)
-                if pack_output else None),
+        packed=packed,
     )
 
 
@@ -152,9 +346,95 @@ block_step = functools.partial(
     static_argnames=("boundary_factor", "levels", "subsampling",
                      "max_candidates", "cell_cap", "vertex_cap", "index_cap",
                      "fit_shape", "tile_chunk", "mls_backend", "pack_output",
-                     "occ_tile_cap"),
+                     "occ_tile_cap", "device_filter"),
 )(block_step_body)
 block_step.__doc__ = "Jitted block_step_body (one compile per static config)."
+
+
+def block_step_staged(splats, valid, region_cells, cell_origin,
+                      boundary_factor, *, levels, subsampling,
+                      max_candidates, cell_cap, vertex_cap, index_cap,
+                      fit_shape="sphere", tile_chunk=32, mls_backend="xla",
+                      pack_output=False, occ_tile_cap=0, device_filter=None,
+                      registry=None) -> BlockResult:
+    """`block_step` split into separately-jitted, individually-timed stages.
+
+    The TPU analogue of the reference's per-kernel event timing
+    (--statistics-cl, src/statistics_cl.h:43-93): wall-times each device
+    sub-program with a block_until_ready fence and records
+    `device.binning/mls/marching/weld/pack.time` Variables into the
+    statistics registry so analyze_stats can show a device breakdown.
+    Fencing between stages defeats XLA's cross-stage fusion and the
+    pipeline's async dispatch, so this mode is for profiling, not
+    production throughput (the reference's event timing likewise perturbs
+    its queues).
+    """
+    import time as _time
+
+    from mlsgpu_tpu.utils.statistics import get_registry
+    registry = registry or get_registry()
+
+    def timed(name, fn, *a, **kw):
+        t0 = _time.monotonic()
+        out = jax.block_until_ready(fn(*a, **kw))
+        registry.variable(f"device.{name}.time").add(_time.monotonic() - t0)
+        return out
+
+    min_shift = subsampling
+    max_shift = levels + subsampling - 1
+    tiles_per_axis = 1 << (max_shift - 3)
+
+    binned = timed("binning", binning.bin_splats, splats, valid, cell_origin,
+                   min_shift=min_shift, max_shift=max_shift)
+    starts, lens = timed("segments", _jit_tile_segments, binned.entry_keys,
+                         min_shift, max_shift, tiles_per_axis)
+    if mls_backend in ("pallas", "pallas_interpret"):
+        from mlsgpu_tpu.ops.mls_pallas import eval_field_pallas
+        field, max_total, n_occ = timed(
+            "mls", eval_field_pallas,
+            binned.entry_data, starts, lens, cell_origin, tiles_per_axis,
+            fit_shape=fit_shape, boundary_factor=float(boundary_factor),
+            interpret=(mls_backend == "pallas_interpret"),
+            tile_cap=occ_tile_cap)
+    else:
+        field, max_total = timed(
+            "mls", _jit_eval_field,
+            binned.entry_data, starts, lens, cell_origin, tiles_per_axis,
+            max_candidates, fit_shape, jnp.float32(boundary_factor),
+            tile_chunk)
+        n_occ = jnp.int32(0)
+    mesh = timed("marching", _jit_marching, field, region_cells, cell_origin,
+                 cell_cap, vertex_cap, index_cap)
+    welded = timed("weld", _jit_weld, mesh.vertices, mesh.key_hi, mesh.key_lo,
+                   mesh.triangles, mesh.num_vertices, mesh.num_indices)
+    packed = None
+    if device_filter is not None:
+        welded = welded._replace(
+            vertices=jax.jit(device_filter)(welded.vertices, cell_origin))
+    elif pack_output:
+        fmt = pack_format(levels, subsampling, vertex_cap)
+        if fmt is not None:
+            packed = timed("pack", _jit_pack, welded, cell_origin, fmt,
+                           vertex_cap, index_cap)
+    return BlockResult(
+        vertices=welded.vertices, key_hi=welded.key_hi, key_lo=welded.key_lo,
+        triangles=welded.triangles, num_vertices=welded.num_vertices,
+        first_external=welded.first_external, num_indices=welded.num_indices,
+        max_tile_candidates=max_total, num_cells=mesh.num_cells,
+        num_unwelded=mesh.num_vertices, num_occ_tiles=n_occ, packed=packed)
+
+
+_jit_tile_segments = functools.partial(
+    jax.jit, static_argnums=(1, 2, 3))(binning.tile_segments)
+_jit_eval_field = functools.partial(
+    jax.jit, static_argnums=(4, 5, 6, 8))(
+        lambda e, s, l, o, tpa, K, shape, bf, chunk: mls.eval_field(
+            e, s, l, o, tpa, K, shape, bf, tile_chunk=chunk))
+_jit_marching = functools.partial(
+    jax.jit, static_argnums=(3, 4, 5))(marching.generate)
+_jit_weld = jax.jit(weld.weld)
+_jit_pack = functools.partial(
+    jax.jit, static_argnums=(2, 3, 4))(_pack_readback)
 
 
 def resolve_mls_backend(requested: str = "auto") -> str:

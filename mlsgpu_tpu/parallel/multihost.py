@@ -58,6 +58,12 @@ class Transport:
         """Gather a picklable object from every process, same order on all."""
         raise NotImplementedError
 
+    def progress_counter(self, name: str = "progress"):
+        """A cross-process shared monotonic counter (add/read), or None when
+        the transport has no side channel. Backs distributed progress
+        (the ProgressMPI delta channel, src/progress_mpi.h:54-88)."""
+        return None
+
 
 class LocalTransport(Transport):
     """In-process fake: N logical ranks running in threads, synchronized by
@@ -96,6 +102,21 @@ class LocalTransport(Transport):
         self._round += 1
         return out
 
+    def progress_counter(self, name: str = "progress"):
+        lock = self._shared["lock"]
+        counters = self._shared.setdefault("counters", {})
+
+        class _Local:
+            def add(self, n: int) -> None:
+                with lock:
+                    counters[name] = counters.get(name, 0) + int(n)
+
+            def read(self) -> int:
+                with lock:
+                    return counters.get(name, 0)
+
+        return _Local()
+
 
 class JaxTransport(Transport):
     """Cross-host collectives over the jax.distributed runtime. Objects are
@@ -128,6 +149,29 @@ class JaxTransport(Transport):
         return [pickle.loads(all_data[r, :int(sizes[r])].tobytes())
                 for r in range(self._size)]
 
+    def progress_counter(self, name: str = "progress"):
+        """Shared counter in the jax.distributed coordinator's KV store
+        (key_value_increment): the delta channel of the reference's
+        ProgressMPI without any extra connection."""
+        try:
+            from jax._src import distributed
+            client = distributed.global_state.client
+            if client is None:
+                return None
+            key = f"mlsgpu_tpu/{name}"
+
+            class _KV:
+                def add(self, n: int) -> None:
+                    if n:
+                        client.key_value_increment(key, int(n))
+
+                def read(self) -> int:
+                    return int(client.key_value_increment(key, 0))
+
+            return _KV()
+        except Exception:  # pragma: no cover - jaxlib API drift
+            return None
+
 
 def init_distributed(coordinator: Optional[str] = None,
                      num_processes: Optional[int] = None,
@@ -139,6 +183,60 @@ def init_distributed(coordinator: Optional[str] = None,
                                    num_processes=num_processes,
                                    process_id=process_id)
     return JaxTransport()
+
+
+class DistributedProgress:
+    """Progress aggregation across ranks (the ProgressMPI analogue,
+    src/progress_mpi.h:54-88): every rank publishes deltas into the
+    transport's shared counter; rank 0 owns the display and a poller thread
+    refreshes it from the global count. Degrades to rank-local display when
+    the transport has no side channel."""
+
+    def __init__(self, transport: Transport, total: int, show: bool,
+                 label: str = "reconstructing", poll_interval: float = 0.5):
+        import threading
+
+        from mlsgpu_tpu.utils.progress import NullProgress, ProgressDisplay
+        self._counter = transport.progress_counter()
+        self._rank = transport.rank
+        self._display = (ProgressDisplay(total, label=label)
+                         if show and self._rank == 0 else NullProgress())
+        self._local = 0
+        self._thread = None
+        self._stop = threading.Event()
+        if self._counter is not None and self._rank == 0 and show:
+            self._thread = threading.Thread(target=self._poll,
+                                            args=(poll_interval,),
+                                            name="progress-poll", daemon=True)
+            self._thread.start()
+
+    def _poll(self, interval: float) -> None:
+        shown = 0
+        while not self._stop.wait(interval):
+            n = self._counter.read()
+            if n > shown:
+                self._display.add(n - shown)
+                shown = n
+
+    def add(self, n: int) -> None:
+        self._local += int(n)
+        if self._counter is not None:
+            self._counter.add(n)
+            # rank 0's display is fed by the poller (global count)
+        else:
+            self._display.add(n)
+
+    def __iadd__(self, n: int) -> "DistributedProgress":
+        self.add(n)
+        return self
+
+    def close(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join()
+            n = self._counter.read()
+            # final draw with whatever the global count reached
+            self._display.add(max(n - self._display.current, 0))
 
 
 def _partition(total: int, rank: int, size: int) -> Tuple[int, int]:
@@ -174,7 +272,8 @@ def distributed_blobs(source: SplatSource, cfg: ReconstructConfig,
     identical BlobInfo (P8)."""
     lo, hi = _partition(len(source), transport.rank, transport.size)
     part = _RangeLimitedSource(source, lo, hi)
-    local = blobs_mod.compute_blobs(part, cfg.fit_grid, cfg.micro_cells)
+    local = blobs_mod.compute_blobs(part, cfg.fit_grid, cfg.micro_cells,
+                                    mem_budget=cfg.mem_blobs)
 
     gathered = transport.allgather({
         "blobs": local.blobs,
@@ -233,36 +332,40 @@ def _clump_summary(mesher: OOCMesher):
     return keys, key_roots, all_roots, root_nv
 
 
-def global_pruned_roots(mesher: OOCMesher, prune: float,
-                        transport: Transport) -> set:
-    """All-gather clump summaries and compute the globally-consistent pruned
-    set of *local* clump roots."""
-    summaries = transport.allgather(_clump_summary(mesher))
+def global_pruned_roots_multi(meshers: Sequence[OOCMesher], prune: float,
+                              transport: Transport) -> List[set]:
+    """All-gather clump summaries (each rank may hold several partial
+    meshers, e.g. after a rank-count-changing resume) and compute the
+    globally-consistent pruned set of local clump roots, per local mesher."""
+    summaries = transport.allgather([_clump_summary(m) for m in meshers])
 
-    # Build a union-find over (rank, root) nodes, merged by shared keys.
+    # Build a union-find over (rank, mesher, root) nodes, merged by shared
+    # external-vertex keys.
     node_id: Dict[tuple, int] = {}
     sizes: List[int] = []
 
-    def node(rank, root):
-        k = (rank, int(root))
+    def node(rank, mi, root):
+        k = (rank, mi, int(root))
         if k not in node_id:
             node_id[k] = len(sizes)
             sizes.append(0)
         return node_id[k]
 
-    for r, (keys, key_roots, roots, root_nv) in enumerate(summaries):
-        for root, nv in zip(roots, root_nv):
-            sizes[node(r, root)] = int(nv)
+    for r, rank_sums in enumerate(summaries):
+        for mi, (keys, key_roots, roots, root_nv) in enumerate(rank_sums):
+            for root, nv in zip(roots, root_nv):
+                sizes[node(r, mi, root)] = int(nv)
 
     from mlsgpu_tpu.utils.union_find import UnionFind
     uf = UnionFind(len(sizes))
     by_key: Dict[int, int] = {}
-    for r, (keys, key_roots, roots, root_nv) in enumerate(summaries):
-        for k, root in zip(keys, key_roots):
-            n = node(r, root)
-            prev = by_key.setdefault(int(k), n)
-            if prev != n:
-                uf.merge(prev, n)
+    for r, rank_sums in enumerate(summaries):
+        for mi, (keys, key_roots, roots, root_nv) in enumerate(rank_sums):
+            for k, root in zip(keys, key_roots):
+                n = node(r, mi, root)
+                prev = by_key.setdefault(int(k), n)
+                if prev != n:
+                    uf.merge(prev, n)
     # aggregate sizes per merged component
     comp_size: Dict[int, int] = {}
     for nid, sz in enumerate(sizes):
@@ -271,11 +374,17 @@ def global_pruned_roots(mesher: OOCMesher, prune: float,
     total = sum(sizes)
     threshold = prune * total
     my_rank = transport.rank
-    pruned = set()
-    for (r, root), nid in node_id.items():
+    pruned: List[set] = [set() for _ in meshers]
+    for (r, mi, root), nid in node_id.items():
         if r == my_rank and comp_size[uf.find(nid)] < threshold:
-            pruned.add(root)
+            pruned[mi].add(root)
     return pruned
+
+
+def global_pruned_roots(mesher: OOCMesher, prune: float,
+                        transport: Transport) -> set:
+    """Single-mesher form of global_pruned_roots_multi."""
+    return global_pruned_roots_multi([mesher], prune, transport)[0]
 
 
 def reconstruct_distributed(source: SplatSource, cfg: ReconstructConfig,
@@ -299,7 +408,8 @@ def reconstruct_distributed(source: SplatSource, cfg: ReconstructConfig,
             cfg.block_cells)
     buckets = bucket_mod.make_buckets(
         info, cfg.block_cells, cfg.micro_cells,
-        max_splats=cfg.max_device_splats, chunk_cells=chunk_cells)
+        max_splats=min(cfg.max_device_splats, cfg.mem_bucket_splats // 32),
+        chunk_cells=chunk_cells, max_split=cfg.max_split)
 
     owner = assign_chunks(buckets, transport.size)
     mine = [b for b in buckets if owner[b.chunk_id.coords] == transport.rank]
@@ -310,8 +420,15 @@ def reconstruct_distributed(source: SplatSource, cfg: ReconstructConfig,
                        reorder_budget=cfg.mem_reorder)
     caps = BlockCaps(cfg.tile_candidates, cfg.cell_cap, cfg.vertex_cap,
                      cfg.index_cap, occ_tile_cap=default_occ_tile_cap(cfg))
-    for bucket, result in stream_blocks(source, info, mine, cfg, caps):
-        mesher.add(block_result_to_input(result, bucket))
+    progress = DistributedProgress(transport,
+                                   total=sum(b.num_splats for b in buckets),
+                                   show=cfg.progress)
+    try:
+        for bucket, result in stream_blocks(source, info, mine, cfg, caps):
+            mesher.add(block_result_to_input(result, bucket))
+            progress += bucket.num_splats
+    finally:
+        progress.close()
 
     if cfg.checkpoint:
         # Per-rank checkpoint (the reference's distributed --checkpoint;
@@ -346,16 +463,40 @@ def _merge_stats(transport: Transport) -> None:
             stats.merge(other)
 
 
+def _checkpoint_shards(checkpoint_path: str) -> List[str]:
+    import glob
+    import re
+    files = [f for f in glob.glob(checkpoint_path + ".rank*")
+             if re.fullmatch(r".*\.rank\d{4}", f)]
+    return sorted(files)
+
+
 def resume_distributed(checkpoint_path: str, cfg: ReconstructConfig,
                        output: str, transport: Transport,
                        writer_factory=None) -> List[str]:
     """Write-only distributed run from per-rank checkpoints (--resume with
-    --num-processes; requires the same process count as the checkpoint)."""
-    path = _rank_checkpoint_path(checkpoint_path, transport)
-    mesher = OOCMesher.resume(path)
-    pruned = global_pruned_roots(mesher, mesher.prune, transport)
-    outputs = mesher.write(output, writer_factory=writer_factory,
-                           split_size=cfg.output_split_size or 1,
-                           pruned_override=pruned)
+    --num-processes). The resume rank count may differ from the checkpoint
+    rank count (reference runResume, mlsgpu-mpi.cpp:349-372 /
+    src/mesher.cpp:876-947): the K checkpoint shards are dealt round-robin
+    onto the R current ranks, each rank resumes its shards as independent
+    partial meshers (their chunk sets are disjoint by construction), and the
+    prune exchange runs over all shards globally."""
+    shards = _checkpoint_shards(checkpoint_path)
+    if not shards:
+        raise FileNotFoundError(
+            f"no checkpoint shards matching {checkpoint_path}.rank*")
+    mine = [f for i, f in enumerate(shards)
+            if i % transport.size == transport.rank]
+    log.info(f"rank {transport.rank}: resuming {len(mine)}/{len(shards)} "
+             f"checkpoint shards")
+    meshers = [OOCMesher.resume(f) for f in mine]
+    prune = meshers[0].prune if meshers else 0.0
+    pruned = global_pruned_roots_multi(meshers, prune, transport)
+    outputs: List[str] = []
+    for m, p in zip(meshers, pruned):
+        outputs.extend(m.write(output, writer_factory=writer_factory,
+                               split_size=cfg.output_split_size or 1,
+                               pruned_override=p))
+        m.cleanup()
     _merge_stats(transport)
     return outputs

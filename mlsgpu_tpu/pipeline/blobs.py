@@ -29,11 +29,14 @@ from mlsgpu_tpu.utils.statistics import get_registry
 class BlobArray:
     """Struct-of-arrays blob store. Ranges are [start, start+count) global
     splat ids; lo/hi are inclusive microblock coords (absolute, may be
-    negative)."""
+    negative). Arrays may be views into a disk-backed record memmap (see
+    BlobAccumulator), in which case the OS page cache bounds resident
+    memory — the reference keeps blobs in temp files for the same reason
+    (src/splat_set.h:824-849)."""
     start: np.ndarray   # (B,) int64
-    count: np.ndarray   # (B,) int64
-    lo: np.ndarray      # (B, 3) int64
-    hi: np.ndarray      # (B, 3) int64
+    count: np.ndarray   # (B,) int32 (a run is bounded by one file/chunk)
+    lo: np.ndarray      # (B, 3) int32
+    hi: np.ndarray      # (B, 3) int32
 
     def __len__(self) -> int:
         return len(self.start)
@@ -41,6 +44,76 @@ class BlobArray:
     @property
     def num_splats(self) -> int:
         return int(self.start[-1] + self.count[-1]) if len(self.start) else 0
+
+
+# 36 bytes/blob on disk or in RAM (the reference's encodings are 4/40 bytes,
+# src/splat_set.h:669-708; we trade a little space for mmap-able fixed-width
+# records and vectorized numpy access).
+BLOB_RECORD = np.dtype([("start", "<i8"), ("count", "<i4"),
+                        ("lo", "<i4", (3,)), ("hi", "<i4", (3,))])
+
+
+class BlobAccumulator:
+    """Append-only blob record sink: stays in RAM below `mem_budget` bytes,
+    spills every record to an unlinked temp file past it and finishes as a
+    memmap-backed BlobArray (disk-resident blob store; the FastBlobSet temp
+    -file analogue, src/splat_set.h:824-849). With the file unlinked at
+    creation the kernel reclaims it when the memmap is garbage collected."""
+
+    def __init__(self, mem_budget: Optional[int] = None):
+        self._parts = []          # list of BLOB_RECORD arrays (RAM mode)
+        self._bytes = 0
+        self._count = 0
+        self._budget = mem_budget
+        self._file = None
+
+    def append(self, start, count, lo, hi) -> None:
+        n = len(start)
+        if n == 0:
+            return
+        rec = np.empty(n, BLOB_RECORD)
+        rec["start"] = start
+        rec["count"] = count
+        rec["lo"] = lo
+        rec["hi"] = hi
+        self._count += n
+        self._bytes += rec.nbytes
+        if self._file is None and self._budget is not None \
+                and self._bytes > self._budget:
+            self._spill()
+        if self._file is not None:
+            self._file.write(rec.tobytes())
+        else:
+            self._parts.append(rec)
+
+    def _spill(self) -> None:
+        import os
+
+        from mlsgpu_tpu.utils.misc import create_tmp_file
+        path = create_tmp_file(prefix="mlsgpu_tpu.blobs.")
+        self._file = open(path, "w+b")
+        os.unlink(path)  # auto-reclaim once closed/unreferenced
+        get_registry().counter("blobs.spilled").add(1)
+        log.info(f"blob store exceeded {self._budget} bytes; "
+                 f"spilling records to disk")
+        for rec in self._parts:
+            self._file.write(rec.tobytes())
+        self._parts.clear()
+
+    def finish(self) -> BlobArray:
+        if self._file is not None:
+            self._file.flush()
+            rec = np.memmap(self._file, dtype=BLOB_RECORD, mode="r",
+                            shape=(self._count,))
+        elif self._parts:
+            rec = (self._parts[0] if len(self._parts) == 1
+                   else np.concatenate(self._parts))
+        else:
+            rec = np.empty(0, BLOB_RECORD)
+        get_registry().peak("mem.blobs").add(
+            0 if self._file is not None else self._bytes)
+        return BlobArray(start=rec["start"], count=rec["count"],
+                         lo=rec["lo"], hi=rec["hi"])
 
 
 @dataclass
@@ -68,13 +141,14 @@ def _splat_cell_bounds(chunk: np.ndarray, inv_spacing: np.float32
 
 
 def compute_blobs(source: SplatSource, spacing: float, micro_cells: int,
-                  progress=None) -> BlobInfo:
+                  progress=None, mem_budget: Optional[int] = None) -> BlobInfo:
     """Single streaming pass: bbox + blob runs (the reference's pass 0,
-    src/mlsgpu_core.cpp:587-615)."""
+    src/mlsgpu_core.cpp:587-615). Past `mem_budget` bytes the blob records
+    spill to a disk-backed store (src/splat_set.h:824-849 analogue)."""
     inv_spacing = np.float32(1.0) / np.float32(spacing)
     stats = get_registry()
 
-    starts, counts, los, his = [], [], [], []
+    acc = BlobAccumulator(mem_budget)
     cur_lo = cur_hi = None  # current run's microblock range
     cur_start = 0
     cur_count = 0
@@ -86,10 +160,9 @@ def compute_blobs(source: SplatSource, spacing: float, micro_cells: int,
     def close_run():
         nonlocal cur_lo
         if cur_lo is not None:
-            starts.append(np.array([cur_start], dtype=np.int64))
-            counts.append(np.array([cur_count], dtype=np.int64))
-            los.append(cur_lo[None, :])
-            his.append(cur_hi[None, :])
+            acc.append(np.array([cur_start], dtype=np.int64),
+                       np.array([cur_count], dtype=np.int64),
+                       cur_lo[None, :], cur_hi[None, :])
             cur_lo = None
 
     # Native one-pass RLE (bounds + runs + bbox at memory speed); the numpy
@@ -110,11 +183,7 @@ def compute_blobs(source: SplatSource, spacing: float, micro_cells: int,
                 st, ct, lo, hi = nat.blob_rle(
                     chunk, int(first_id), float(inv_spacing),
                     int(micro_cells), nat_carry, nat_bbox, nat_nonfinite)
-                if len(st):
-                    starts.append(st)
-                    counts.append(ct)
-                    los.append(lo)
-                    his.append(hi)
+                acc.append(st, ct, lo, hi)
                 if progress is not None:
                     progress += len(chunk)
                 continue
@@ -155,10 +224,8 @@ def compute_blobs(source: SplatSource, spacing: float, micro_cells: int,
                 emit = finite[rs[:-1]]
                 if emit.any():
                     idx = np.nonzero(emit)[0]
-                    starts.append(first_id + rs[idx])
-                    counts.append(ends[idx] - rs[idx])
-                    los.append(mlo[rs[idx]])
-                    his.append(mhi[rs[idx]])
+                    acc.append(first_id + rs[idx], ends[idx] - rs[idx],
+                               mlo[rs[idx]], mhi[rs[idx]])
                 last = int(rs[-1])
                 if finite[last]:
                     cur_start = first_id + last
@@ -168,25 +235,18 @@ def compute_blobs(source: SplatSource, spacing: float, micro_cells: int,
                 progress += len(chunk)
     if use_native:
         if nat_carry[0]:
-            starts.append(nat_carry[1:2].copy())
-            counts.append(nat_carry[2:3].copy())
-            los.append(nat_carry[3:6].copy()[None, :])
-            his.append(nat_carry[6:9].copy()[None, :])
+            acc.append(nat_carry[1:2].copy(), nat_carry[2:3].copy(),
+                       nat_carry[3:6].copy()[None, :],
+                       nat_carry[6:9].copy()[None, :])
         cell_min = nat_bbox[0:3]
         cell_max = nat_bbox[3:6]
         num_nonfinite = int(nat_nonfinite[0])
     else:
         close_run()
 
-    if not starts:
+    blobs = acc.finish()
+    if not len(blobs):
         raise ValueError("no finite splats in input")
-
-    blobs = BlobArray(
-        start=np.concatenate(starts).astype(np.int64),
-        count=np.concatenate(counts).astype(np.int64),
-        lo=np.concatenate(los).astype(np.int64).reshape(-1, 3),
-        hi=np.concatenate(his).astype(np.int64).reshape(-1, 3),
-    )
 
     # Grid extents: corners influenced span [cell_min, cell_max + 1]
     # inclusive -> cells [cell_min, cell_max + 1).

@@ -303,7 +303,8 @@ def assign_blobs(blobs: BlobArray, micro_lo: np.ndarray,
 
 def make_buckets(info: BlobInfo, block_cells: int, micro_cells: int,
                  max_splats: int,
-                 chunk_cells: Optional[int] = None) -> List[Bucket]:
+                 chunk_cells: Optional[int] = None,
+                 max_split: Optional[int] = None) -> List[Bucket]:
     """Full bucketing driver: counts -> regions -> blob assignment -> Buckets
     (the doBucket + BucketCollector path, src/mlsgpu_core.cpp:656-678).
 
@@ -324,6 +325,14 @@ def make_buckets(info: BlobInfo, block_cells: int, micro_cells: int,
                                        info.micro_dims)
             regions = bucket_regions(counts, micro_cells, grid_cells,
                                      block_cells, max_splats)
+        if max_split is not None and len(regions) > max_split:
+            # --max-split bounds the region list of one bucketing pass
+            # (the reference's maxSplit recursion budget,
+            # src/bucket.h:180-189, default 2^30).
+            raise DensityError(
+                f"bucketing produced {len(regions)} regions > max_split "
+                f"{max_split}; raise --max-split or --leaf-cells",
+                len(regions))
         step = max(block_cells // micro_cells, 1)
         step = 1 << int(np.floor(np.log2(step)))  # must match bucket_regions
         blob_lists = assign_blobs(info.blobs, info.micro_lo, regions,

@@ -52,3 +52,47 @@ class MeshFilterChain:
         for f in self.filters:
             vertices, triangles = f(vertices, triangles)
         return vertices, triangles
+
+
+class DeviceScaleBias:
+    """Device-side affine vertex transform, applied inside the jitted block
+    step (the reference's ScaleBiasFilter kernel, src/mesh_filter.h:66-130 +
+    kernels/scale_bias.cl:33-45). Hashable so it can be a static jit
+    argument. Operates in block-local grid coordinates; compose into a
+    DeviceFilterChain for multi-filter parity."""
+
+    def __init__(self, scale: float = 1.0, bias=(0.0, 0.0, 0.0)):
+        self.scale = float(scale)
+        self.bias = tuple(float(b) for b in bias)
+
+    def __hash__(self):
+        return hash((DeviceScaleBias, self.scale, self.bias))
+
+    def __eq__(self, other):
+        return (type(other) is DeviceScaleBias and self.scale == other.scale
+                and self.bias == other.bias)
+
+    def __call__(self, vertices, cell_origin):
+        import jax.numpy as jnp
+        return (vertices * jnp.float32(self.scale)
+                + jnp.asarray(self.bias, jnp.float32)[None, :])
+
+
+class DeviceFilterChain:
+    """Ordered composition of device vertex filters (MeshFilterChain on the
+    device side, src/mesh_filter.h:132-170)."""
+
+    def __init__(self, filters: Sequence = ()):
+        self.filters = tuple(filters)
+
+    def __hash__(self):
+        return hash((DeviceFilterChain, self.filters))
+
+    def __eq__(self, other):
+        return (type(other) is DeviceFilterChain
+                and self.filters == other.filters)
+
+    def __call__(self, vertices, cell_origin):
+        for f in self.filters:
+            vertices = f(vertices, cell_origin)
+        return vertices

@@ -199,17 +199,20 @@ def block_result_to_input(result: BlockResult, bucket: bucket_mod.Bucket
         fe = int(result.first_external)
     from mlsgpu_tpu.pipeline.streamer import PrefetchedResult
     with stats.timer("readback.mesh"):
-        if getattr(result, "packed", None) is not None:
-            # Single packed transfer (ops/block._pack_readback layout:
-            # [tris | external keys | verts]).
-            ne = nv - fe
+        if (getattr(result, "packed", None) is not None
+                and getattr(result, "pack_fmt", None) is not None):
+            # Single quantized transfer (ops/block._pack_readback layout);
+            # weld keys are reconstructed from the vertex encoding, so no
+            # key region travels at all.
+            from mlsgpu_tpu.ops.block import unpack_readback
             flat = np.asarray(result.packed)
-            k_end = ni + 2 * ne
-            tris = flat[:ni].view(np.int32).reshape(ni // 3, 3)
-            keypairs = flat[ni:k_end].reshape(ne, 2).astype(np.int64)
-            hi, lo = keypairs[:, 0], keypairs[:, 1]
-            verts = (flat[k_end:k_end + 3 * nv].view(np.float32)
-                     .reshape(nv, 3))
+            verts, tris, keys = unpack_readback(
+                flat, ni, nv, fe, result.pack_fmt,
+                bucket.cell_lo.astype(np.int64))
+            verts = verts + bucket.cell_lo.astype(np.float32)
+            return BlockInput(chunk_id=bucket.chunk_id, vertices=verts,
+                              first_external=fe, ext_keys=keys,
+                              triangles=tris)
         elif isinstance(result, PrefetchedResult):
             # Arrays are already pow2-prefix slices with host copies in
             # flight (copy_to_host_async at force time) — re-slicing here
@@ -233,14 +236,15 @@ def reconstruct(source: SplatSource, cfg: ReconstructConfig, output: str,
                 writer_factory=None, show_progress: Optional[bool] = None,
                 mesher: Optional[OOCMesher] = None,
                 caps: Optional[BlockCaps] = None,
-                filters=None) -> List[str]:
+                filters=None, device_filter=None) -> List[str]:
     """Full single-host reconstruction. Returns the list of output files."""
     cfg.validate()
     stats = get_registry()
     show_progress = cfg.progress if show_progress is None else show_progress
 
     with stats.timer("pass0.time"):
-        info = blobs_mod.compute_blobs(source, cfg.fit_grid, cfg.micro_cells)
+        info = blobs_mod.compute_blobs(source, cfg.fit_grid, cfg.micro_cells,
+                                       mem_budget=cfg.mem_blobs)
 
     chunk_cells = None
     if cfg.output_split_size:
@@ -251,9 +255,13 @@ def reconstruct(source: SplatSource, cfg: ReconstructConfig, output: str,
         chunk_cells = round_up(
             int(np.ceil(np.sqrt(cfg.output_split_size / 760.0))),
             cfg.block_cells)
+    # --mem-bucket-splats bounds splat bytes per bucket alongside the device
+    # cap (reference maxBucketSplats, src/mlsgpu_core.cpp:130-137).
+    max_splats = min(cfg.max_device_splats, cfg.mem_bucket_splats // 32)
     buckets = bucket_mod.make_buckets(
         info, cfg.block_cells, cfg.micro_cells,
-        max_splats=cfg.max_device_splats, chunk_cells=chunk_cells)
+        max_splats=max_splats, chunk_cells=chunk_cells,
+        max_split=cfg.max_split)
 
     mesher = mesher or OOCMesher(info.grid, prune=cfg.fit_prune,
                                  reorder_budget=cfg.mem_reorder)
@@ -268,7 +276,8 @@ def reconstruct(source: SplatSource, cfg: ReconstructConfig, output: str,
         from mlsgpu_tpu.pipeline.streamer import stream_blocks
         from mlsgpu_tpu.utils import timeplot
         mesher_worker = timeplot.Worker("mesher")
-        for bucket, result in stream_blocks(source, info, buckets, cfg, caps):
+        for bucket, result in stream_blocks(source, info, buckets, cfg, caps,
+                                            device_filter=device_filter):
             block = block_result_to_input(result, bucket)
             with timeplot.Action("mesher", mesher_worker,
                                  stats.variable("mesher.time")):

@@ -42,8 +42,9 @@ def _pick_devices(num: int) -> List:
     return devs
 
 
-def _dispatch(padded, valid, bucket, cfg, caps, device) -> BlockResult:
-    from mlsgpu_tpu.ops.block import resolve_mls_backend
+def _dispatch(padded, valid, bucket, cfg, caps, device,
+              device_filter=None) -> BlockResult:
+    from mlsgpu_tpu.ops.block import block_step_staged, resolve_mls_backend
     args = dict(
         splats=jax.device_put(padded, device),
         valid=jax.device_put(valid, device),
@@ -52,7 +53,9 @@ def _dispatch(padded, valid, bucket, cfg, caps, device) -> BlockResult:
         cell_origin=jax.device_put(
             np.asarray(bucket.cell_lo, np.int32), device),
     )
-    result = block_step(
+    step = (block_step_staged if getattr(cfg, "statistics_device", False)
+            else block_step)
+    result = step(
         **args,
         boundary_factor=float(cfg.boundary_factor),
         levels=cfg.levels, subsampling=cfg.subsampling,
@@ -61,7 +64,8 @@ def _dispatch(padded, valid, bucket, cfg, caps, device) -> BlockResult:
         index_cap=caps.index_cap, fit_shape=cfg.fit_shape,
         mls_backend=resolve_mls_backend(getattr(cfg, "mls_backend", "auto")),
         pack_output=True,
-        occ_tile_cap=caps.occ_tile_cap)
+        occ_tile_cap=caps.occ_tile_cap,
+        device_filter=device_filter)
     # NOTE: do NOT copy_to_host_async the full packed buffer here — on this
     # platform d2h transfers do not overlap device compute, so an eager
     # full-cap transfer serializes the pipeline (measured 1.9x slower than
@@ -97,24 +101,34 @@ def _check_overflow(result: BlockResult, caps) -> bool:
     return retry
 
 
+def _prefix_size(n: int, cap: int) -> int:
+    """Transfer-slice size for a live count n: next power of two, refined by
+    quarter-steps (<= 25% slop vs up to 100% for plain pow2). Each distinct
+    size compiles one trivial device slice program, so sizes must come from
+    a small set — this yields at most 4 per octave."""
+    p = next_pow2(max(n, 1))
+    step = max(p // 4, 1)
+    return min(((n + step - 1) // step) * step, cap)
+
+
 class PrefetchedResult:
     """A forced BlockResult whose live data is already on its way to the
     host (copy_to_host_async issued) — the analogue of the reference's
     3-event async enqueueReadMesh (src/mesh.h:141-179). When the result
     carries a packed readback image (ops/block._pack_readback) only its live
-    prefix travels: one transfer, externals-only keys. The count scalars are
-    pre-read."""
+    prefix travels: one quantized transfer, no key region. The count scalars
+    are pre-read."""
 
-    def __init__(self, result: BlockResult):
+    def __init__(self, result: BlockResult, pack_fmt=None):
         self.num_vertices = int(result.num_vertices)
         self.num_indices = int(result.num_indices)
         self.first_external = int(result.first_external)
+        self.pack_fmt = pack_fmt
 
         def prefix(arr, n):
             if n <= 0:
                 return arr[:0]
-            m = min(next_pow2(n), arr.shape[0])
-            s = arr[:m]
+            s = arr[:min(_prefix_size(n, arr.shape[0]), arr.shape[0])]
             try:
                 s.copy_to_host_async()
             except Exception:
@@ -123,9 +137,8 @@ class PrefetchedResult:
 
         nv = self.num_vertices
         self.packed = None
-        if getattr(result, "packed", None) is not None:
-            ne = nv - self.first_external
-            total = 3 * nv + 2 * ne + self.num_indices
+        if getattr(result, "packed", None) is not None and pack_fmt is not None:
+            total = pack_fmt.total_words(self.num_indices, nv)
             self.packed = prefix(result.packed, total)
             return
         self.vertices = prefix(result.vertices, nv)
@@ -135,7 +148,9 @@ class PrefetchedResult:
 
 
 def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
-                  devices: Optional[List] = None, window: Optional[int] = None
+                  devices: Optional[List] = None,
+                  window: Optional[int] = None,
+                  device_filter=None
                   ) -> Iterator[Tuple[object, BlockResult]]:
     """Yield (bucket, forced+prefetched result) for every bucket, pipelined."""
     stats = get_registry()
@@ -146,7 +161,33 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
         # load/compute overlap on one device.
         window = max(2, getattr(cfg, "device_threads", 1) * len(devices))
     window = max(window, len(devices))
-    load_q: "queue.Queue" = queue.Queue(maxsize=window + 1)
+
+    # Byte budgets (the reference's CircularBuffer backpressure,
+    # src/circular_buffer.h:47-248 + src/mlsgpu_core.cpp:130-137). Blocks
+    # are uniformly padded (below), so bounding counts IS byte accounting:
+    # --mem-load-splats bounds the loader queue, --mem-host-splats the queue
+    # plus the retained in-flight inputs, --mem-mesh the in-flight mesh
+    # readback images.
+    maxn = max((b.num_splats for b in buckets), default=1)
+    step = max(next_pow2(maxn) // 8, 1)
+    pad_to = ((maxn + step - 1) // step) * step
+    block_bytes = pad_to * (8 * 4 + 1)  # padded f32 splats + valid bool
+    q_budget = max(1, int(getattr(cfg, "mem_load_splats", 1 << 62))
+                   // block_bytes)
+    host_budget = max(2, int(getattr(cfg, "mem_host_splats", 1 << 62))
+                      // block_bytes - q_budget)
+    from mlsgpu_tpu.ops.block import pack_format
+    fmt = pack_format(cfg.levels, cfg.subsampling, caps.vertex_cap)
+    mesh_bytes = 4 * (fmt.total_words(caps.index_cap, caps.vertex_cap)
+                      if fmt is not None
+                      else caps.index_cap + 5 * caps.vertex_cap)
+    mesh_budget = max(1, int(getattr(cfg, "mem_mesh", 1 << 62)) // mesh_bytes)
+    eff_window = min(window, host_budget, mesh_budget)
+    if eff_window < window:
+        log.info(f"in-flight window {window} -> {eff_window} "
+                 f"(mem_host_splats/mem_mesh budgets)")
+        window = max(eff_window, 1)
+    load_q: "queue.Queue" = queue.Queue(maxsize=min(window + 1, q_budget))
     blob_start = info.blobs.start
     blob_count = info.blobs.count
     grid = info.grid
@@ -165,12 +206,12 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
                 continue
         return False
 
-    # One padded shape for the whole run: h2d transfer is cheap (a few
-    # ms/MB) but every distinct shape costs a block_step trace+compile
-    # (tens of seconds on this host), so uniform padding to the largest
-    # bucket is a large net win (the reference sizes its splat buffers to
-    # --mem-bucket-splats once for the same reason, src/workers.h:183-206).
-    pad_to = next_pow2(max((b.num_splats for b in buckets), default=1))
+    # One padded shape for the whole run (computed above): every distinct
+    # shape costs a block_step trace+compile (tens of seconds on this host),
+    # so uniform padding to the largest bucket is a large net win (the
+    # reference sizes its splat buffers to --mem-bucket-splats once for the
+    # same reason, src/workers.h:183-206). Eighth-pow2 granularity keeps h2d
+    # slop <= 12.5% (plain pow2 wastes up to 2x of the ~40 MB/s link).
 
     def loader():
         worker = timeplot.Worker("loader")
@@ -202,6 +243,7 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
     compute_worker = timeplot.Worker("device")
 
     def force(entry):
+        from mlsgpu_tpu.ops.block import pack_format
         b, padded, valid, result, device = entry
         with timeplot.Action("compute", compute_worker,
                              stats.variable("device.time")):
@@ -210,8 +252,10 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
                 log.info(f"block {b.chunk_id.gen}: cap overflow, retrying "
                          f"(K={caps.max_candidates}, cells={caps.cell_cap}, "
                          f"verts={caps.vertex_cap}, inds={caps.index_cap})")
-                result = _dispatch(padded, valid, b, cfg, caps, device)
-        return b, PrefetchedResult(result)
+                result = _dispatch(padded, valid, b, cfg, caps, device,
+                                   device_filter)
+        fmt = pack_format(cfg.levels, cfg.subsampling, caps.vertex_cap)
+        return b, PrefetchedResult(result, pack_fmt=fmt)
 
     try:
         while True:
@@ -227,7 +271,8 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
             device = devices[dev_idx % len(devices)]
             dev_idx += 1
             with stats.timer("streamer.dispatch"):
-                result = _dispatch(padded, valid, b, cfg, caps, device)
+                result = _dispatch(padded, valid, b, cfg, caps, device,
+                                   device_filter)
             inflight.append((b, padded, valid, result, device))
             if len(inflight) > window:
                 yield force(inflight.popleft())

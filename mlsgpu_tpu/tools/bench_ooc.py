@@ -1,0 +1,155 @@
+"""Out-of-core scale benchmark (BASELINE.md configs 3/4): reconstruct a
+procedurally-generated ~100M+ splat scan with enforced host memory budgets
+and report throughput plus peak RSS.
+
+The input is a `ProceduralScanSource`: a Morton-ordered (spatially coherent,
+like real scanner sweeps — the property FastBlobSet depends on,
+src/splat_set.h:653-708) sphere scan generated deterministically per chunk,
+so no multi-GB input file has to exist; `read_ranges` regenerates any id
+range on demand. IO accounting still exercises the real pipeline paths:
+blob store (RAM or disk past --mem-blobs), byte-budgeted loader queue,
+spill-based mesher, streamed two-pass write.
+
+Usage:
+    python -m mlsgpu_tpu.tools.bench_ooc --splats 100000000 \
+        --mem-blobs 256M --out /tmp/ooc.ply
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import resource
+import sys
+import time
+
+import numpy as np
+
+from mlsgpu_tpu.io.splat_set import SplatSource
+
+
+class ProceduralScanSource(SplatSource):
+    """Deterministic synthetic scan of a sphere, Morton-ordered for spatial
+    coherence. Any [a, b) id range is regenerated on demand — the disk-free
+    stand-in for a multi-hundred-GB input set."""
+
+    def __init__(self, n: int, radius: float = 3.0, seed: int = 123):
+        self._n = int(n)
+        self._radius = float(radius)
+        self._seed = seed
+        # splat radius ~3x mean sample spacing for solid coverage
+        self._sr = 3.0 * np.sqrt(4 * np.pi * radius ** 2 / n)
+        # Coherence ordering: sample directions in a coarse lat-long sweep
+        # with deterministic jitter — consecutive ids are spatial neighbors
+        # (scanline order), like a real scanner pass.
+        self._bands = max(int(np.sqrt(self._n / 2)), 1)
+
+    @property
+    def splat_radius(self) -> float:
+        return self._sr
+
+    def __len__(self) -> int:
+        return self._n
+
+    def _gen(self, a: int, b: int) -> np.ndarray:
+        ids = np.arange(a, b, dtype=np.int64)
+        # lat-long sweep: band = latitude row, position in band = longitude
+        band = ids * self._bands // self._n
+        in_band = ids - band * self._n // self._bands
+        band_len = np.maximum((band + 1) * self._n // self._bands
+                              - band * self._n // self._bands, 1)
+        # deterministic per-id jitter from a counter-based hash
+        u = ids.astype(np.uint64)
+        h = (u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        j1 = (h & np.uint64(0x7FFFFFFF)).astype(np.float64) / 2**31 - 0.5
+        h2 = (u * np.uint64(0xC2B2AE3D27D4EB4F)) >> np.uint64(33)
+        j2 = (h2 & np.uint64(0x7FFFFFFF)).astype(np.float64) / 2**31 - 0.5
+        theta = (band + 0.5 + 0.9 * j1) / self._bands * np.pi
+        phi = (in_band + 0.5 + 0.9 * j2) / band_len * 2 * np.pi
+        st, ct = np.sin(theta), np.cos(theta)
+        v = np.stack([st * np.cos(phi), st * np.sin(phi), ct], axis=1)
+        out = np.zeros((len(ids), 8), dtype=np.float32)
+        out[:, 0:3] = (self._radius * v).astype(np.float32)
+        out[:, 3] = self._sr
+        out[:, 4:7] = v.astype(np.float32)
+        out[:, 7] = 1.0
+        return out
+
+    def iter_chunks(self, chunk_size: int = 4 * 1024 * 1024):
+        for start in range(0, self._n, chunk_size):
+            stop = min(start + chunk_size, self._n)
+            yield start, self._gen(start, stop)
+
+    def read_ranges(self, ranges):
+        if not len(ranges):
+            return np.empty((0, 8), np.float32)
+        return np.concatenate([self._gen(a, b) for a, b in ranges])
+
+
+def peak_rss_bytes() -> int:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--splats", type=int, default=100_000_000)
+    p.add_argument("--out", default="/tmp/mlsgpu_ooc/out.ply")
+    p.add_argument("--levels", type=int, default=6)
+    p.add_argument("--mem-blobs", default="256M")
+    p.add_argument("--mem-load-splats", default="256M")
+    p.add_argument("--mem-host-splats", default="512M")
+    p.add_argument("--mem-mesh", default="512M")
+    p.add_argument("--mem-reorder", default="2G")
+    p.add_argument("--rss-budget", default="16G",
+                   help="fail if peak RSS exceeds this")
+    p.add_argument("--split-size", default="500M",
+                   help="output chunking (keeps single-file writes bounded)")
+    args = p.parse_args(argv)
+
+    from mlsgpu_tpu.cli import _enable_compile_cache
+    _enable_compile_cache()
+    from mlsgpu_tpu.config import ReconstructConfig, parse_capacity
+    from mlsgpu_tpu.pipeline.reconstruct import reconstruct
+    from mlsgpu_tpu.utils.statistics import get_registry
+
+    src = ProceduralScanSource(args.splats)
+    spacing = src.splat_radius / 3.0
+    cfg = ReconstructConfig(
+        fit_grid=float(spacing), fit_smooth=1.0, fit_prune=0.02,
+        levels=args.levels, subsampling=3,
+        max_device_splats=4 << 20,
+        tile_candidates=1 << 10,
+        mem_blobs=parse_capacity(args.mem_blobs),
+        mem_load_splats=parse_capacity(args.mem_load_splats),
+        mem_host_splats=parse_capacity(args.mem_host_splats),
+        mem_mesh=parse_capacity(args.mem_mesh),
+        mem_reorder=parse_capacity(args.mem_reorder),
+        output_split_size=parse_capacity(args.split_size),
+        progress=True,
+    )
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+
+    t0 = time.monotonic()
+    files = reconstruct(src, cfg, args.out)
+    elapsed = time.monotonic() - t0
+
+    rss = peak_rss_bytes()
+    budget = parse_capacity(args.rss_budget)
+    result = {
+        "metric": "ooc points->mesh throughput",
+        "splats": args.splats,
+        "elapsed_s": round(elapsed, 1),
+        "msplats_per_s": round(args.splats / elapsed / 1e6, 4),
+        "peak_rss_gb": round(rss / 1e9, 2),
+        "rss_budget_gb": round(budget / 1e9, 2),
+        "rss_ok": rss <= budget,
+        "output_files": len(files),
+    }
+    print(json.dumps(result))
+    get_registry().dump(sys.stderr)
+    return 0 if rss <= budget else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -367,3 +367,133 @@ def test_caps_cache_roundtrip(tmp_path, monkeypatch):
     # different geometry key is unaffected
     other = rec.load_cached_caps(ReconstructConfig(levels=5))
     assert other.vertex_cap == ReconstructConfig(levels=5).vertex_cap
+
+
+@pytest.mark.slow
+def test_statistics_device_staged_run(tmp_path):
+    """--statistics-device runs the block step as separately-timed stages
+    (the reference's --statistics-cl event timing, src/statistics_cl.h:43-93)
+    and must produce the same mesh while recording per-stage device times."""
+    from mlsgpu_tpu.config import ReconstructConfig
+    from mlsgpu_tpu.pipeline.reconstruct import reconstruct
+    from mlsgpu_tpu.utils.statistics import get_registry
+
+    rng = np.random.default_rng(11)
+    splats = oracle.sphere_cloud(np.zeros(3), 3.0, 8000, 0.35, rng)
+    cfg = dict(fit_grid=0.1, fit_smooth=1.0, levels=4, subsampling=3,
+               leaf_cells=8, max_device_splats=200000, tile_candidates=512,
+               progress=False)
+    out1 = str(tmp_path / "plain.ply")
+    out2 = str(tmp_path / "staged.ply")
+    reconstruct(SequenceSource(splats), ReconstructConfig(**cfg), out1)
+    get_registry().clear()
+    reconstruct(SequenceSource(splats),
+                ReconstructConfig(statistics_device=True, **cfg), out2)
+    stats = get_registry().to_dict()
+    for stage in ("binning", "mls", "marching", "weld", "pack"):
+        key = f"device.{stage}.time"
+        assert key in stats, f"missing {key} in {sorted(stats)}"
+    v1, t1 = ply.read_mesh(out1)
+    v2, t2 = ply.read_mesh(out2)
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(t1, t2)
+
+
+def test_blob_store_spills_to_disk_and_matches():
+    """Past --mem-blobs the blob records live in a disk-backed store
+    (src/splat_set.h:824-849 analogue); results must be identical."""
+    from mlsgpu_tpu.utils.statistics import get_registry
+    rng = np.random.default_rng(7)
+    splats = oracle.sphere_cloud(np.zeros(3), 3.0, 20000, 0.25, rng)
+    src = SequenceSource(splats)
+    ram = blobs_mod.compute_blobs(src, 0.1, 8)
+    get_registry().clear()
+    spilled = blobs_mod.compute_blobs(src, 0.1, 8, mem_budget=1024)
+    assert get_registry().to_dict()["blobs.spilled"]["total"] == 1
+    np.testing.assert_array_equal(np.asarray(ram.blobs.start),
+                                  np.asarray(spilled.blobs.start))
+    np.testing.assert_array_equal(np.asarray(ram.blobs.count),
+                                  np.asarray(spilled.blobs.count))
+    np.testing.assert_array_equal(np.asarray(ram.blobs.lo),
+                                  np.asarray(spilled.blobs.lo))
+    np.testing.assert_array_equal(np.asarray(ram.blobs.hi),
+                                  np.asarray(spilled.blobs.hi))
+    assert ram.grid.extents == spilled.grid.extents
+    # the store is memmap-backed
+    assert isinstance(spilled.blobs.start.base, np.memmap) or \
+        isinstance(spilled.blobs.start, np.memmap)
+
+
+@pytest.mark.slow
+def test_tight_memory_budgets_end_to_end(tmp_path):
+    """Tiny --mem-load-splats / --mem-host-splats / --mem-mesh budgets
+    throttle the pipeline (CircularBuffer semantics,
+    src/circular_buffer.h:47-248) without changing the output."""
+    from mlsgpu_tpu.config import ReconstructConfig
+    from mlsgpu_tpu.pipeline.reconstruct import reconstruct
+    rng = np.random.default_rng(3)
+    splats = oracle.sphere_cloud(np.zeros(3), 3.0, 12000, 0.3, rng)
+    base = dict(fit_grid=0.1, fit_smooth=1.0, levels=3, subsampling=3,
+                leaf_cells=8, max_device_splats=200000, tile_candidates=512,
+                cell_cap=1 << 15, vertex_cap=1 << 17, index_cap=3 << 17,
+                progress=False)
+    out1 = str(tmp_path / "roomy.ply")
+    out2 = str(tmp_path / "tight.ply")
+    reconstruct(SequenceSource(splats), ReconstructConfig(**base), out1)
+    # budgets small enough to throttle (mem_mesh forces a 1-block window)
+    # but with mem_bucket_splats still above any bucket, so the block
+    # decomposition — and hence the output — is unchanged
+    tight = ReconstructConfig(
+        mem_bucket_splats=2 << 20, mem_load_splats=2 << 20,
+        mem_host_splats=4 << 20, mem_mesh=1 << 20, mem_blobs=1 << 12, **base)
+    reconstruct(SequenceSource(splats), tight, out2)
+    v1, t1 = ply.read_mesh(out1)
+    v2, t2 = ply.read_mesh(out2)
+    assert len(v1) == len(v2) and len(t1) == len(t2)
+
+
+@pytest.mark.slow
+def test_device_filter_chain_end_to_end(tmp_path):
+    """A device-side vertex filter (the reference's MeshFilterChain run
+    before readback, src/mesh_filter.h:57-170) shifts geometry on-device;
+    output must equal the unfiltered run shifted by the same amount."""
+    from mlsgpu_tpu.config import ReconstructConfig
+    from mlsgpu_tpu.pipeline.mesh_filter import (DeviceFilterChain,
+                                                 DeviceScaleBias)
+    from mlsgpu_tpu.pipeline.reconstruct import reconstruct
+    rng = np.random.default_rng(9)
+    splats = oracle.sphere_cloud(np.zeros(3), 3.0, 8000, 0.35, rng)
+    base = dict(fit_grid=0.1, fit_smooth=1.0, levels=4, subsampling=3,
+                leaf_cells=8, max_device_splats=200000, tile_candidates=512,
+                cell_cap=1 << 15, vertex_cap=1 << 17, index_cap=3 << 17,
+                progress=False)
+    out1 = str(tmp_path / "plain.ply")
+    out2 = str(tmp_path / "shifted.ply")
+    reconstruct(SequenceSource(splats), ReconstructConfig(**base), out1)
+    chain = DeviceFilterChain([DeviceScaleBias(bias=(5.0, 0.0, 0.0))])
+    reconstruct(SequenceSource(splats), ReconstructConfig(**base), out2,
+                device_filter=chain)
+    v1, t1 = ply.read_mesh(out1)
+    v2, t2 = ply.read_mesh(out2)
+    assert len(v1) == len(v2) and len(t1) == len(t2)
+    # bias is in grid cells: 5 cells * 0.1 spacing = 0.5 world units in x
+    np.testing.assert_allclose(
+        np.sort(v2[:, 0]), np.sort(v1[:, 0]) + 0.5, atol=1e-4)
+
+
+def test_procedural_scan_source_coherent_and_consistent():
+    """The OOC benchmark's procedural source must regenerate ranges
+    identically and be spatially coherent enough for blob compression
+    (the property FastBlobSet exploits, src/splat_set.h:653-708)."""
+    from mlsgpu_tpu.tools.bench_ooc import ProceduralScanSource
+    src = ProceduralScanSource(200000)
+    a = src.read_ranges([(1000, 3000)])
+    chunks = {start: c for start, c in src.iter_chunks(chunk_size=2048)}
+    b = np.concatenate([chunks[0], chunks[2048]])[1000:3000]
+    np.testing.assert_array_equal(a, b)
+    assert np.isfinite(a).all()
+    r = np.linalg.norm(a[:, :3], axis=1)
+    np.testing.assert_allclose(r, 3.0, rtol=1e-5)
+    info = blobs_mod.compute_blobs(src, spacing=src.splat_radius / 3.0,
+                                   micro_cells=63)
+    assert len(info.blobs) < 200000 / 5  # >=5 splats/blob on average

@@ -203,3 +203,85 @@ class TestDistributedCheckpoint:
             dv, dt = ply.read_mesh(df)
             rv, rt = ply.read_mesh(rf)
             assert (len(dv), len(dt)) == (len(rv), len(rt))
+
+
+class TestRankFlexibleResume:
+    def _checkpoint(self, tmp_path, src, nranks=2):
+        ckpt = str(tmp_path / "flex.ckpt")
+
+        def fn_ckpt(tr):
+            cfg = small_config(output_split_size=100_000, checkpoint=ckpt)
+            return reconstruct_distributed(
+                src, cfg, str(tmp_path / "out.ply"), tr)
+
+        run_ranks(nranks, fn_ckpt)
+        return ckpt
+
+    def _direct(self, tmp_path, src):
+        def fn_direct(tr):
+            cfg = small_config(output_split_size=100_000)
+            return reconstruct_distributed(
+                src, cfg, str(tmp_path / "direct.ply"), tr)
+
+        return sorted(f for fs in run_ranks(2, fn_direct) for f in fs)
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("resume_ranks", [3, 1])
+    def test_resume_with_different_rank_count(self, tmp_path, resume_ranks):
+        """Checkpoint on 2 ranks, resume on a different count (the
+        reference allows this: src/mesher.cpp:876-947,
+        mlsgpu-mpi.cpp:349-372): same chunk files either way."""
+        from mlsgpu_tpu.parallel.multihost import resume_distributed
+        src = make_source()
+        direct_files = self._direct(tmp_path, src)
+        ckpt = self._checkpoint(tmp_path, src, nranks=2)
+
+        def fn_resume(tr):
+            cfg = small_config(output_split_size=100_000)
+            return resume_distributed(ckpt, cfg,
+                                      str(tmp_path / "flexout.ply"), tr)
+
+        resumed = sorted(f for fs in run_ranks(resume_ranks, fn_resume)
+                         for f in fs)
+        assert len(resumed) == len(direct_files)
+        for df, rf in zip(direct_files, resumed):
+            dv, dt = ply.read_mesh(df)
+            rv, rt = ply.read_mesh(rf)
+            assert (len(dv), len(dt)) == (len(rv), len(rt))
+
+
+def test_distributed_progress_aggregates_to_rank0():
+    """Every rank's deltas reach rank 0's display through the transport's
+    shared counter (ProgressMPI parity, src/progress_mpi.h:54-88)."""
+    import io
+
+    from mlsgpu_tpu.parallel.multihost import DistributedProgress
+    from mlsgpu_tpu.utils.progress import ProgressDisplay
+
+    def fn(tr):
+        prog = DistributedProgress(tr, total=300, show=(tr.rank == 0),
+                                   poll_interval=0.02)
+        for _ in range(10):
+            prog += 10
+        tr.allgather(None)  # all ranks done publishing
+        prog.close()
+        if tr.rank == 0:
+            disp = prog._display
+            assert isinstance(disp, ProgressDisplay)
+            return disp.current
+        return None
+
+    results = run_ranks(3, fn)
+    assert results[0] == 300
+
+
+def test_local_transport_progress_counter():
+    trs = LocalTransport.make(2)
+    c0 = trs[0].progress_counter("x")
+    c1 = trs[1].progress_counter("x")
+    c0.add(5)
+    c1.add(7)
+    assert c0.read() == 12 and c1.read() == 12
+    other = trs[0].progress_counter("y")
+    other.add(1)
+    assert other.read() == 1 and c0.read() == 12
