@@ -61,6 +61,9 @@ class BinnedSplats(NamedTuple):
     """Sorted entry arrays for one block."""
     entry_data: jnp.ndarray   # (8N, 8) f32: splat fields in entry order, col 3 = 1/r^2
     entry_keys: jnp.ndarray   # (8N,) uint32 sorted node keys (INVALID_KEY = unused)
+    entry_vals: jnp.ndarray   # (8N,) int32 splat row index per entry (rows are
+    # in ascending global-id order, so equal rows <=> same physical splat —
+    # the identity key for the canonical face pass's dedupe)
 
 
 @functools.partial(jax.jit, static_argnames=("min_shift", "max_shift"))
@@ -122,7 +125,8 @@ def bin_splats(splats: jnp.ndarray, valid: jnp.ndarray,
     # reads are contiguous. Radius column becomes 1/r^2.
     mls_form = splats.at[:, 3].set(1.0 / r2)
     entry_data = mls_form[sorted_vals]
-    return BinnedSplats(entry_data=entry_data, entry_keys=sorted_keys)
+    return BinnedSplats(entry_data=entry_data, entry_keys=sorted_keys,
+                        entry_vals=sorted_vals)
 
 
 def tile_segments(entry_keys: jnp.ndarray, min_shift: int, max_shift: int,

@@ -266,7 +266,8 @@ def block_step_body(splats: jnp.ndarray,
                     mls_backend: str = "xla",
                     pack_output: bool = False,
                     occ_tile_cap: int = 0,
-                    device_filter=None) -> BlockResult:
+                    device_filter=None,
+                    canonical_faces: bool = True) -> BlockResult:
     """Reconstruct one block (un-jitted body; see block_step).
 
     Args:
@@ -302,6 +303,16 @@ def block_step_body(splats: jnp.ndarray,
             max_candidates, fit_shape, jnp.float32(boundary_factor),
             tile_chunk=tile_chunk)
         n_occ = jnp.int32(0)
+
+    if canonical_faces:
+        # Face corner planes recomputed block-independently so adjacent
+        # blocks agree bitwise at shared corners (no seam cracks; see
+        # ops/mls.canonical_face_field).
+        field, face_max = mls.canonical_face_field(
+            field, binned.entry_data, binned.entry_vals, starts, lens,
+            cell_origin, region_cells, tiles_per_axis, max_candidates,
+            fit_shape, boundary_factor, tile_chunk=tile_chunk)
+        max_total = jnp.maximum(max_total, face_max)
 
     mesh = marching.generate(field, region_cells, cell_origin,
                              cell_cap, vertex_cap, index_cap)
@@ -346,7 +357,7 @@ block_step = functools.partial(
     static_argnames=("boundary_factor", "levels", "subsampling",
                      "max_candidates", "cell_cap", "vertex_cap", "index_cap",
                      "fit_shape", "tile_chunk", "mls_backend", "pack_output",
-                     "occ_tile_cap", "device_filter"),
+                     "occ_tile_cap", "device_filter", "canonical_faces"),
 )(block_step_body)
 block_step.__doc__ = "Jitted block_step_body (one compile per static config)."
 
@@ -356,7 +367,7 @@ def block_step_staged(splats, valid, region_cells, cell_origin,
                       max_candidates, cell_cap, vertex_cap, index_cap,
                       fit_shape="sphere", tile_chunk=32, mls_backend="xla",
                       pack_output=False, occ_tile_cap=0, device_filter=None,
-                      registry=None) -> BlockResult:
+                      canonical_faces=True, registry=None) -> BlockResult:
     """`block_step` split into separately-jitted, individually-timed stages.
 
     The TPU analogue of the reference's per-kernel event timing
@@ -403,6 +414,13 @@ def block_step_staged(splats, valid, region_cells, cell_origin,
             max_candidates, fit_shape, jnp.float32(boundary_factor),
             tile_chunk)
         n_occ = jnp.int32(0)
+    if canonical_faces:
+        field, face_max = timed(
+            "faces", _jit_face_field, field, binned.entry_data,
+            binned.entry_vals, starts, lens, cell_origin, region_cells,
+            tiles_per_axis, max_candidates, fit_shape,
+            jnp.float32(boundary_factor), tile_chunk)
+        max_total = jnp.maximum(max_total, face_max)
     mesh = timed("marching", _jit_marching, field, region_cells, cell_origin,
                  cell_cap, vertex_cap, index_cap)
     welded = timed("weld", _jit_weld, mesh.vertices, mesh.key_hi, mesh.key_lo,
@@ -430,6 +448,11 @@ _jit_eval_field = functools.partial(
     jax.jit, static_argnums=(4, 5, 6, 8))(
         lambda e, s, l, o, tpa, K, shape, bf, chunk: mls.eval_field(
             e, s, l, o, tpa, K, shape, bf, tile_chunk=chunk))
+_jit_face_field = functools.partial(
+    jax.jit, static_argnums=(7, 8, 9, 11))(
+        lambda f, e, v, s, l, o, r, tpa, K, shape, bf, chunk:
+        mls.canonical_face_field(f, e, v, s, l, o, r, tpa, K, shape, bf,
+                                 tile_chunk=chunk))
 _jit_marching = functools.partial(
     jax.jit, static_argnums=(3, 4, 5))(marching.generate)
 _jit_weld = jax.jit(weld.weld)

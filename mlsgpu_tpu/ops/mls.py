@@ -183,3 +183,277 @@ def eval_field(entry_data: jnp.ndarray,
     f = f.reshape(tpa, tpa, tpa, TILE, TILE, TILE)
     field = f.transpose(0, 3, 1, 4, 2, 5).reshape(tpa * TILE, tpa * TILE, tpa * TILE)
     return field, max_total
+
+
+def _sortable_u32(f: jnp.ndarray) -> jnp.ndarray:
+    """Monotone f32 -> uint32 map (IEEE radix-sort key trick)."""
+    u = jax.lax.bitcast_convert_type(f, jnp.uint32)
+    mask = jnp.where((u >> 31) == 1, jnp.uint32(0xFFFFFFFF),
+                     jnp.uint32(0x80000000))
+    return u ^ mask
+
+
+
+def canonical_face_field(field: jnp.ndarray,
+                         entry_data: jnp.ndarray,
+                         entry_vals: jnp.ndarray,
+                         seg_starts: jnp.ndarray,
+                         seg_lens: jnp.ndarray,
+                         cell_origin: jnp.ndarray,
+                         region_cells: jnp.ndarray,
+                         tiles_per_axis: int,
+                         max_candidates: int,
+                         fit_shape: str,
+                         boundary_factor,
+                         tile_chunk: int = 32
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Recompute the six face corner planes of `field` so adjacent blocks
+    agree *bitwise* on shared corners (no seam cracks; the reference's
+    contract is decomposition-independent geometry,
+    doc/mlsgpu-user-manual.xml:494-499).
+
+    Two sources of cross-block divergence exist in the fast interior path:
+    (1) tile re-centering frames are anchored at block origins, which are
+    not mutually aligned, and (2) the per-level segment concatenation
+    orders candidates block-dependently. Both vanish by recomputing face
+    corners on patches of the *global* 8-corner grid:
+
+    * every computation runs in the patch frame — a multiple-of-8 global
+      anchor — so both blocks evaluate identical f32 expressions on
+      identical inputs;
+    * each patch's candidate list is made canonical: the union of the <=4
+      covering tiles' segment lists is filtered by an exact
+      splat-to-patch-rectangle distance test, deduplicated by splat
+      identity, and sorted by the full feature tuple (+ stream order as the
+      tiebreaker). Both blocks then hold the same physical splats at the
+      same slot positions (the binning octree guarantees every
+      rectangle-relevant splat appears in a covering tile's list), so the
+      fixed-shape matmul reductions produce bitwise-identical moments —
+      invalid slots contribute exact zeros at identical positions.
+
+    Returns (field with face planes overwritten, max candidate count over
+    the face tile layers) — the caller must retry with a larger
+    `max_candidates` when that exceeds it, like the interior path.
+    """
+    fit = FIT_MODELS[fit_shape]
+    tpa = int(tiles_per_axis)
+    num_tiles = tpa ** 3
+    K = int(max_candidates)
+    L = seg_starts.shape[1]
+    E = entry_data.shape[0]
+    K4 = 4 * K
+
+    cum = jnp.cumsum(seg_lens, axis=1)
+    cum0 = jnp.concatenate(
+        [jnp.zeros((num_tiles, 1), jnp.int32), cum[:, :-1]], axis=1)
+    totals = cum[:, -1]
+    ks = jnp.arange(K, dtype=jnp.int32)
+
+    # --- static patch-row table: 6 faces x (tpa+1)^2 global 8-grid patches
+    n_p = tpa + 1
+    f2 = n_p * n_p
+    nrows = 6 * f2
+    rows = np.arange(nrows)
+    face = rows // f2
+    axis_a = face // 2                      # 0=x, 1=y, 2=z
+    side = face % 2
+    pb_i = (rows % f2) // n_p               # patch index on axis b=(a+1)%3
+    pc_i = rows % n_p                       # patch index on axis c=(a+2)%3
+    axis_b = (axis_a + 1) % 3
+    axis_c = (axis_a + 2) % 3
+    a_j = jnp.asarray(axis_a)
+    b_j = jnp.asarray(axis_b)
+    c_j = jnp.asarray(axis_c)
+    side_j = jnp.asarray(side)
+
+    org = cell_origin.astype(jnp.int32)
+    rc = region_cells.astype(jnp.int32)
+    plane_g = org[a_j] + jnp.where(side_j == 1, rc[a_j], 0)  # (nrows,)
+    base_a = (plane_g // 8) * 8
+    base_b = (org[b_j] // 8 + jnp.asarray(pb_i)) * 8
+    base_c = (org[c_j] // 8 + jnp.asarray(pc_i)) * 8
+
+    # covering tiles: one layer on axis a, a 2x2 in-plane neighborhood
+    layer_a = jnp.where(side_j == 1, rc[a_j] // TILE, 0)
+    lo_b = base_b - org[b_j]
+    lo_c = base_c - org[c_j]
+    tb0 = jnp.clip(jnp.floor_divide(lo_b, TILE), 0, tpa - 1)
+    tb1 = jnp.clip(jnp.floor_divide(lo_b + 7, TILE), 0, tpa - 1)
+    tc0 = jnp.clip(jnp.floor_divide(lo_c, TILE), 0, tpa - 1)
+    tc1 = jnp.clip(jnp.floor_divide(lo_c + 7, TILE), 0, tpa - 1)
+
+    def tile_id(ta, tb, tc):
+        """(a, b, c) tile coords -> (tz*tpa + ty)*tpa + tx."""
+        t = jnp.zeros((nrows, 3), jnp.int32)
+        r_i = jnp.arange(nrows)
+        t = t.at[r_i, a_j].set(ta)
+        t = t.at[r_i, b_j].set(tb)
+        t = t.at[r_i, c_j].set(tc)
+        return (t[:, 2] * tpa + t[:, 1]) * tpa + t[:, 0]
+
+    tid4 = jnp.stack([tile_id(layer_a, tb0, tc0),
+                      tile_id(layer_a, tb0, tc1),
+                      tile_id(layer_a, tb1, tc0),
+                      tile_id(layer_a, tb1, tc1)], axis=1)   # (nrows, 4)
+
+    row_tot = jnp.max(totals[tid4], axis=1)
+    occ = row_tot > 0
+    n_occ = jnp.sum(occ.astype(jnp.int32))
+    face_max = jnp.max(row_tot)
+    order = jnp.argsort(~occ, stable=True).astype(jnp.int32)
+
+    chunk = min(tile_chunk, nrows)
+    n_chunks = (n_occ + chunk - 1) // chunk
+
+    g8 = np.arange(TILE)
+    fb, fc = np.meshgrid(g8, g8, indexing="ij")
+    fb = jnp.asarray(fb.ravel())            # (64,)
+    fc = jnp.asarray(fc.ravel())
+
+    cut = jnp.float32(RADIUS_CUTOFF)
+    bf = jnp.float32(boundary_factor)
+    out_init = jnp.full((nrows, 64), jnp.nan, jnp.float32)
+
+    def chunk_body(carry):
+        j, out = carry
+        ridx = jax.lax.dynamic_slice(order, (j * chunk,), (chunk,))
+        tids = tid4[ridx].reshape(-1)                        # (4C,)
+
+        # per-tile K-slot tables (same level walk as the interior path)
+        c_starts = seg_starts[tids]
+        c_cum = cum[tids]
+        c_cum0 = cum0[tids]
+        c_tot = totals[tids]
+        lvl = jnp.sum(c_cum[:, None, :] <= ks[None, :, None], axis=-1)
+        lvl_c = jnp.minimum(lvl, L - 1)
+        start_k = jnp.take_along_axis(c_starts, lvl_c, axis=1)
+        cum0_k = jnp.take_along_axis(c_cum0, lvl_c, axis=1)
+        idx = jnp.clip(start_k + (ks[None, :] - cum0_k), 0, E - 1)
+        slot_ok = ks[None, :] < c_tot[:, None]               # (4C, K)
+        idx = idx.reshape(chunk, K4)
+        slot_ok = slot_ok.reshape(chunk, K4)
+
+        data = entry_data[idx]                               # (C, 4K, 8)
+        ids = entry_vals[idx]                                # (C, 4K)
+
+        # canonical splat-to-patch-rectangle filter (global f32 coords)
+        pg = plane_g[ridx].astype(jnp.float32)[:, None]
+        bb = base_b[ridx].astype(jnp.float32)[:, None]
+        bc = base_c[ridx].astype(jnp.float32)[:, None]
+        aa = a_j[ridx]
+        bj = b_j[ridx]
+        cj = c_j[ridx]
+        ci = jnp.arange(chunk)[:, None]
+        p_a = data[ci, jnp.arange(K4)[None, :], aa[:, None]]
+        p_b = data[ci, jnp.arange(K4)[None, :], bj[:, None]]
+        p_c = data[ci, jnp.arange(K4)[None, :], cj[:, None]]
+        da = p_a - pg
+        db = jnp.maximum(jnp.maximum(bb - p_b, p_b - (bb + 7.0)), 0.0)
+        dc = jnp.maximum(jnp.maximum(bc - p_c, p_c - (bc + 7.0)), 0.0)
+        rect2 = da * da + db * db + dc * dc
+        valid = slot_ok & (rect2 * data[:, :, 3] < cut)      # (C, 4K)
+
+        # sort 1: identity-major, for the duplicate drop (a splat can sit
+        # in several covering tiles' lists)
+        vkey = jnp.where(valid, jnp.uint32(0), jnp.uint32(1))
+        ops1 = jax.lax.sort(
+            (vkey, ids) + tuple(data[:, :, i] for i in range(8)),
+            num_keys=2)
+        ids1 = ops1[1]
+        cols1 = ops1[2:]
+        v1 = ops1[0] == 0
+        dup = jnp.zeros_like(v1).at[:, 1:].set(
+            v1[:, 1:] & v1[:, :-1] & (ids1[:, 1:] == ids1[:, :-1]))
+        v2 = v1 & ~dup
+
+        # sort 2: canonical final order — valid first, by full feature
+        # tuple, stream order as tiebreaker. Both blocks now hold identical
+        # physical splats at identical slot positions.
+        vkey2 = jnp.where(v2, jnp.uint32(0), jnp.uint32(1))
+        fkeys = tuple(_sortable_u32(c) for c in cols1)
+        ops2 = jax.lax.sort(
+            (vkey2,) + fkeys + (ids1,) + cols1 + (v2.astype(jnp.int32),),
+            num_keys=10)
+        cols = jnp.stack(ops2[10:18], axis=-1)               # (C, 4K, 8)
+        sval = ops2[18] == 1                                 # (C, 4K)
+
+        # patch frame (multiple-of-8 global anchor): exact in f32
+        pf = jnp.zeros((chunk, 3), jnp.int32)
+        ci1 = jnp.arange(chunk)
+        pf = pf.at[ci1, aa].set(base_a[ridx])
+        pf = pf.at[ci1, bj].set(base_b[ridx])
+        pf = pf.at[ci1, cj].set(base_c[ridx])
+        pf_f = pf.astype(jnp.float32)
+
+        x = cols[:, :, 0:3] - pf_f[:, None, :]               # (C, 4K, 3)
+        invr2 = cols[:, :, 3]
+        nrm = cols[:, :, 4:7]
+        qual = cols[:, :, 7]
+
+        # patch-frame corner coords (the 8x8 in-plane grid at the plane)
+        corners = jnp.zeros((chunk, 64, 3), jnp.float32)
+        k64 = jnp.arange(64)[None, :]
+        corners = corners.at[ci, k64, aa[:, None]].set(
+            (plane_g[ridx] - base_a[ridx]).astype(jnp.float32)[:, None]
+            + jnp.zeros((chunk, 64), jnp.float32))
+        corners = corners.at[ci, k64, bj[:, None]].set(
+            (base_b[ridx] - base_b[ridx])[:, None].astype(jnp.float32)
+            + fb[None, :].astype(jnp.float32))
+        corners = corners.at[ci, k64, cj[:, None]].set(
+            fc[None, :].astype(jnp.float32) + jnp.zeros((chunk, 1)))
+        cc = jnp.sum(corners * corners, axis=-1)             # (C, 64)
+
+        x2 = jnp.sum(x * x, axis=-1)
+        ndotx = jnp.sum(nrm * x, axis=-1)
+        feats = jnp.concatenate([
+            jnp.ones_like(x2)[..., None], x, x2[..., None], nrm,
+            ndotx[..., None]], axis=-1)                      # (C, 4K, 9)
+
+        dotcx = jnp.einsum("tcd,tkd->tck", corners, x,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+        pp = x2[:, None, :] - 2.0 * dotcx + cc[..., None]
+        d = pp * invr2[:, None, :]
+        keep = (d < cut) & sval[:, None, :]
+        w = 1.0 - d
+        w = w * w
+        w = w * w
+        w = jnp.where(keep, w * qual[:, None, :], 0.0)
+        hits = jnp.sum(keep, axis=-1)
+
+        m = jnp.einsum("tck,tkm->tcm", w, feats,
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)   # (C, 64, 9)
+        sum_w = m[..., 0]
+        sx = m[..., 1:4]
+        sxx = m[..., 4]
+        sn = m[..., 5:8]
+        snx = m[..., 8]
+        sum_wp = sx - corners * sum_w[..., None]
+        sum_wpp = (sxx - 2.0 * jnp.einsum(
+            "tcd,tcd->tc", corners, sx,
+            precision=jax.lax.Precision.HIGHEST) + cc * sum_w)
+        sum_wpn = snx - jnp.einsum("tcd,tcd->tc", corners, sn,
+                                   precision=jax.lax.Precision.HIGHEST)
+
+        vals = fit(sum_w, sum_wp, sum_wpp, sn, sum_wpn, hits, bf)
+        return j + 1, out.at[ridx].set(vals)
+
+    _, out = jax.lax.while_loop(lambda c: c[0] < n_chunks, chunk_body,
+                                (0, out_init))
+
+    # scatter the planes back into the dense field (indexed [z, y, x]);
+    # patch corners outside this block's extent drop out of bounds
+    r_i = jnp.arange(nrows)
+    r2_i = r_i[:, None]
+    k64n = jnp.arange(64)[None, :]
+    la = (plane_g - org[a_j])[:, None] + jnp.zeros((1, 64), jnp.int32)
+    lb = (base_b - org[b_j])[:, None] + fb[None, :]
+    lc = (base_c - org[c_j])[:, None] + fc[None, :]
+    coords = jnp.full((nrows, 64, 3), -1, jnp.int32)
+    coords = coords.at[r2_i, k64n, a_j[:, None]].set(la)
+    coords = coords.at[r2_i, k64n, b_j[:, None]].set(lb)
+    coords = coords.at[r2_i, k64n, c_j[:, None]].set(lc)
+    field = field.at[coords[..., 2], coords[..., 1], coords[..., 0]].set(
+        out, mode="drop")
+    return field, face_max

@@ -38,12 +38,10 @@ def make_sphere_source(n=20000, sr=0.25, seed=21):
 
 
 def check_sphere_output(path, expect_components=1, closed=True):
-    """Manifoldness is required always. `closed` additionally demands zero
-    boundary edges, which holds exactly for single-block runs; multi-block
-    runs can have rare hairline cracks where adjacent blocks' float
-    accumulation orders flip a near-zero iso sign (the reference has the
-    same exposure — its manifold definition permits boundary,
-    extras/plymanifold.cpp). See PLAN.md for the canonical-ordering fix."""
+    """Manifoldness is required always; `closed` additionally demands zero
+    boundary edges. This now holds for multi-block runs too: the canonical
+    face pass (ops/mls.canonical_face_field) makes shared corners bitwise
+    block-independent, so block seams weld crack-free."""
     verts, tris = ply.read_mesh(path)
     assert len(verts) > 500
     rep = check_manifold(verts, tris)
@@ -74,11 +72,13 @@ class TestEndToEnd:
 
     def test_sphere_multi_bucket(self, tmp_path):
         """Grid spans multiple 31-cell blocks: exercises cross-block welding
-        on real geometry."""
+        on real geometry. The mesh must be CLOSED — the canonical face pass
+        guarantees crack-free seams (plymanifold contract,
+        doc/mlsgpu-user-manual.xml:494-499)."""
         cfg = small_config()
         out = str(tmp_path / "sphere2.ply")
         files = reconstruct(make_sphere_source(), cfg, out)
-        check_sphere_output(out, closed=False)
+        check_sphere_output(out, closed=True)
 
     def test_multi_bucket_matches_single(self, tmp_path):
         """Block decomposition must not change the surface beyond float
