@@ -57,7 +57,7 @@ def main():
         fit_grid=float(spacing), fit_smooth=1.0, fit_prune=0.02,
         levels=6, subsampling=3,
         max_device_splats=4 << 20,
-        tile_candidates=1 << 10,
+        tile_candidates=384,
         progress=False,
     )
 

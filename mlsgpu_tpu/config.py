@@ -57,12 +57,15 @@ class ReconstructConfig:
     # disk-resident store takes over (the reference always uses temp files,
     # src/splat_set.h:824-849)
 
-    # --- device caps (TPU static shapes; overflow => retry doubled) ---
+    # --- device caps (TPU static shapes; overflow => retry grown to a
+    # near-fit eighth-pow2 step — cap slop is wall time in the cap-sized
+    # marching/weld stages, and the grown values persist across runs via
+    # the caps cache) ---
     max_device_splats: int = 1 << 20   # splats resident per block step
     tile_candidates: int = 512         # K: padded per-tile candidate splats
-    cell_cap: int = 1 << 19            # occupied-cell cap per block
-    vertex_cap: int = 1 << 21          # unwelded vertex cap per block
-    index_cap: int = 3 << 21           # index cap per block
+    cell_cap: int = 1 << 16            # occupied-cell cap per block
+    vertex_cap: int = 1 << 18          # unwelded vertex cap per block
+    index_cap: int = 3 << 18           # index cap per block
 
     # --- pipeline ---
     mls_backend: str = "auto"        # 'auto' | 'xla' | 'pallas'

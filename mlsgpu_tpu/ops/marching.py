@@ -139,11 +139,24 @@ def generate(field: jnp.ndarray,
         return flat_field[corner_flat]
 
     # Gather the 8 corner isovalues and coordinates once per *occupied cell*
-    # (cell_cap rows), then per-vertex lookups index these compact rows —
-    # roughly halving the random-gather volume vs per-vertex 8-corner reads.
+    # (cell_cap rows), then PACK everything a downstream slot needs into one
+    # 16-wide f32 row: the per-slot stages then do a single contiguous
+    # row-gather instead of ~7 independent random gathers (gathers are the
+    # dominant marching cost on TPU). All packed ints (code<=255,
+    # coords<=2^13, starts<=2^24) are exact in f32.
     occ_iso = cell_iso(occ_cell_c)                       # (cell_cap, 8)
     ocx, ocy, ocz = cell_coords(occ_cell_c)
-    occ_xyz = jnp.stack([ocx, ocy, ocz], axis=1)         # (cell_cap, 3)
+
+    occ_row = jnp.concatenate([
+        occ_iso,                                          # 0:8  corner isos
+        occ_code[:, None].astype(jnp.float32),            # 8    case code
+        ocx[:, None].astype(jnp.float32),                 # 9    cell x
+        ocy[:, None].astype(jnp.float32),                 # 10   cell y
+        ocz[:, None].astype(jnp.float32),                 # 11   cell z
+        v_start[:, None].astype(jnp.float32),             # 12   vertex base
+        (i_start // 3)[:, None].astype(jnp.float32),      # 13   triangle base
+        jnp.zeros((occ_iso.shape[0], 2), jnp.float32),    # 14:16 pad
+    ], axis=1)                                            # (cell_cap, 16)
 
     # --- vertices (producer mapped per output slot; gathers only) -------------
     vert_tab = jnp.asarray(tables.VERT_TABLE)            # (256, MV)
@@ -153,19 +166,21 @@ def generate(field: jnp.ndarray,
     vslots = jnp.arange(vertex_cap, dtype=jnp.int32)
     vprod = _slot_to_producer(v_start, occ_valid, vertex_cap)
     vvalid = vslots < num_vertices
-    j = jnp.clip(vslots - v_start[vprod], 0, tables.MAX_CELL_VERTICES - 1)
+    vrow = occ_row[vprod]                                # (vertex_cap, 16)
+    v_base = vrow[:, 12].astype(jnp.int32)
+    vcode = vrow[:, 8].astype(jnp.int32)
+    cell_xyz = vrow[:, 9:12].astype(jnp.int32)
+    j = jnp.clip(vslots - v_base, 0, tables.MAX_CELL_VERTICES - 1)
 
-    vcode = occ_code[vprod]
     vedge = vert_tab[vcode, j]                           # (vertex_cap,)
     vedge_c = jnp.maximum(vedge, 0)
     e0 = edges[vedge_c, 0]
     e1 = edges[vedge_c, 1]
-    iso_flat = occ_iso.reshape(-1)
-    iso0 = iso_flat[vprod * 8 + e0]
-    iso1 = iso_flat[vprod * 8 + e1]
+    viso = vrow[:, 0:8]
+    iso0 = jnp.take_along_axis(viso, e0[:, None], axis=1)[:, 0]
+    iso1 = jnp.take_along_axis(viso, e1[:, None], axis=1)[:, 0]
     off0 = offs[e0]                                      # (vertex_cap, 3)
     off1 = offs[e1]
-    cell_xyz = occ_xyz[vprod]
     t = (iso0 / (iso0 - iso1))[:, None]
     pos = (cell_xyz + off0).astype(jnp.float32) + t * (off1 - off0).astype(jnp.float32)
     vertices = jnp.where(vvalid[:, None], pos, 0.0)
@@ -190,12 +205,16 @@ def generate(field: jnp.ndarray,
     tslots = jnp.arange(index_cap // 3, dtype=jnp.int32)
     tprod = _slot_to_producer(i_start // 3, occ_valid, index_cap // 3)
     tvalid = tslots < num_indices // 3
-    k3 = jnp.clip(3 * (tslots - i_start[tprod] // 3), 0,
+    trow = occ_row[tprod]                                # (icap//3, 16)
+    tcode = trow[:, 8].astype(jnp.int32)
+    t_base = trow[:, 13].astype(jnp.int32)
+    tv_base = trow[:, 12].astype(jnp.int32)
+    k3 = jnp.clip(3 * (tslots - t_base), 0,
                   tables.MAX_CELL_INDICES - 3)
     kk = k3[:, None] + jnp.arange(3, dtype=jnp.int32)[None, :]
-    ilocal = index_tab[occ_code[tprod][:, None], kk]     # (icap//3, 3)
+    ilocal = index_tab[tcode[:, None], kk]               # (icap//3, 3)
     indices = jnp.where(tvalid[:, None],
-                        v_start[tprod][:, None] + jnp.maximum(ilocal, 0),
+                        tv_base[:, None] + jnp.maximum(ilocal, 0),
                         0).reshape(-1)
 
     return BlockMesh(

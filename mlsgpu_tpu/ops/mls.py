@@ -185,15 +185,6 @@ def eval_field(entry_data: jnp.ndarray,
     return field, max_total
 
 
-def _sortable_u32(f: jnp.ndarray) -> jnp.ndarray:
-    """Monotone f32 -> uint32 map (IEEE radix-sort key trick)."""
-    u = jax.lax.bitcast_convert_type(f, jnp.uint32)
-    mask = jnp.where((u >> 31) == 1, jnp.uint32(0xFFFFFFFF),
-                     jnp.uint32(0x80000000))
-    return u ^ mask
-
-
-
 def canonical_face_field(field: jnp.ndarray,
                          entry_data: jnp.ndarray,
                          entry_vals: jnp.ndarray,
@@ -366,16 +357,18 @@ def canonical_face_field(field: jnp.ndarray,
             v1[:, 1:] & v1[:, :-1] & (ids1[:, 1:] == ids1[:, :-1]))
         v2 = v1 & ~dup
 
-        # sort 2: canonical final order — valid first, by full feature
-        # tuple, stream order as tiebreaker. Both blocks now hold identical
-        # physical splats at identical slot positions.
+        # sort 2: canonical final order — a *stable* validity-only
+        # compaction. Sort 1 already ordered valid entries by globally
+        # unique splat id, which is block-independent, so stably moving
+        # invalid/dup slots to the end leaves both blocks with identical
+        # physical splats at identical slot positions (no feature-tuple
+        # keys needed — a 1-key sort, not 10).
         vkey2 = jnp.where(v2, jnp.uint32(0), jnp.uint32(1))
-        fkeys = tuple(_sortable_u32(c) for c in cols1)
         ops2 = jax.lax.sort(
-            (vkey2,) + fkeys + (ids1,) + cols1 + (v2.astype(jnp.int32),),
-            num_keys=10)
-        cols = jnp.stack(ops2[10:18], axis=-1)               # (C, 4K, 8)
-        sval = ops2[18] == 1                                 # (C, 4K)
+            (vkey2,) + cols1 + (v2.astype(jnp.int32),),
+            num_keys=1, is_stable=True)
+        cols = jnp.stack(ops2[1:9], axis=-1)                 # (C, 4K, 8)
+        sval = ops2[9] == 1                                  # (C, 4K)
 
         # patch frame (multiple-of-8 global anchor): exact in f32
         pf = jnp.zeros((chunk, 3), jnp.int32)

@@ -37,6 +37,10 @@ def weld(vertices: jnp.ndarray,
          triangles: jnp.ndarray,
          num_unwelded: jnp.ndarray,
          num_indices: jnp.ndarray) -> WeldedMesh:
+    """Sort/gather-only formulation: TPU scatters serialize, so the
+    representative compaction and the old->new remap are expressed as two
+    extra sorts plus contiguous gathers instead of five cap-sized
+    scatters."""
     cap = vertices.shape[0]
     idx = jnp.arange(cap, dtype=jnp.int32)
     s_hi, s_lo, s_idx = jax.lax.sort((key_hi, key_lo, idx), num_keys=2)
@@ -50,16 +54,20 @@ def weld(vertices: jnp.ndarray,
     is_ext = (s_hi >> 31) == 1
     first_external = jnp.sum(jnp.where(first & real & ~is_ext, 1, 0)).astype(jnp.int32)
 
-    # Representative per key: the first sorted instance writes its data.
-    out_target = jnp.where(first & real, new_id, cap)
-    out_verts = jnp.zeros_like(vertices).at[out_target].set(
-        vertices[s_idx], mode="drop")
-    out_hi = jnp.full(cap, jnp.uint32(0xFFFFFFFF)).at[out_target].set(
-        s_hi, mode="drop")
-    out_lo = jnp.full(cap, jnp.uint32(0xFFFFFFFF)).at[out_target].set(
-        s_lo, mode="drop")
+    # Representative per key: compact the first sorted instance of each
+    # group with one sort (positions of `first` rows in new_id order), then
+    # gather its data.
+    firstpos = jax.lax.sort(jnp.where(first & real, idx, cap))  # ascending
+    firstpos_c = jnp.minimum(firstpos, cap - 1)
+    out_verts = vertices[s_idx[firstpos_c]]
+    pad = firstpos >= cap
+    out_hi = jnp.where(pad, jnp.uint32(0xFFFFFFFF), s_hi[firstpos_c])
+    out_lo = jnp.where(pad, jnp.uint32(0xFFFFFFFF), s_lo[firstpos_c])
+    out_verts = jnp.where(pad[:, None], 0.0, out_verts)
 
-    remap = jnp.zeros(cap, jnp.int32).at[s_idx].set(new_id)
+    # old index -> welded index: invert the sort permutation with a second
+    # sort keyed by s_idx (a permutation, so this is exact).
+    _, remap = jax.lax.sort((s_idx, new_id), num_keys=1)
     new_tris = remap[triangles]
 
     return WeldedMesh(

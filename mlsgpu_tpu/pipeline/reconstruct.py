@@ -66,8 +66,10 @@ def _caps_cache_path() -> str:
 
 def _caps_cache_key(cfg) -> str:
     # max_device_splats proxies bucket size: caps grown by a dense run
-    # should not inflate the programs of an unrelated small run.
-    return (f"L{cfg.levels}.S{cfg.subsampling}.{cfg.fit_shape}"
+    # should not inflate the programs of an unrelated small run. v2:
+    # eighth-pow2 near-fit growth (old pow2-grown entries must not pin the
+    # fat caps).
+    return (f"v2.L{cfg.levels}.S{cfg.subsampling}.{cfg.fit_shape}"
             f".M{cfg.max_device_splats}")
 
 

@@ -29,7 +29,7 @@ from mlsgpu_tpu.io.splat_set import SplatSource, merge_ranges
 from mlsgpu_tpu.ops.block import BlockResult, block_step
 from mlsgpu_tpu.utils import logging as log
 from mlsgpu_tpu.utils import timeplot
-from mlsgpu_tpu.utils.misc import next_pow2
+from mlsgpu_tpu.utils.misc import next_pow2, eighth_pow2_ceil
 from mlsgpu_tpu.utils.statistics import get_registry
 
 _SENTINEL = object()
@@ -75,28 +75,36 @@ def _dispatch(padded, valid, bucket, cfg, caps, device,
 
 def _check_overflow(result: BlockResult, caps) -> bool:
     """Grow caps if the block overflowed; returns True when a retry is
-    needed (forces the diagnostic scalars — the sync point)."""
+    needed (forces the diagnostic scalars — the sync point). Caps grow to
+    eighth-pow2 steps after ~6% headroom: the cap-sized gather/sort
+    stages of marching and weld are the device hot spots, so cap slop is
+    wall time (caps are value-neutral — the canonical face pass removed
+    the K-dependence of shared-corner values)."""
+    def grow(n):
+        n = int(n) + int(n) // 16 + 1   # 6% headroom against thrash
+        return eighth_pow2_ceil(n)
+
     retry = False
     mt = int(result.max_tile_candidates)
     if mt > caps.max_candidates:
-        caps.max_candidates = next_pow2(mt)
+        caps.max_candidates = grow(mt)
         retry = True
     nc = int(result.num_cells)
     if nc > caps.cell_cap:
-        caps.cell_cap = next_pow2(nc)
+        caps.cell_cap = grow(nc)
         retry = True
     nuw = int(result.num_unwelded)
     if nuw > caps.vertex_cap:
-        caps.vertex_cap = next_pow2(nuw)
+        caps.vertex_cap = grow(nuw)
         retry = True
     ni = int(result.num_indices)
     if ni > caps.index_cap:
-        caps.index_cap = 3 * next_pow2(ni // 3 + 1)
+        caps.index_cap = 3 * grow(ni // 3 + 1)
         retry = True
     if caps.occ_tile_cap and getattr(result, "num_occ_tiles", None) is not None:
         nt = int(result.num_occ_tiles)
         if nt > caps.occ_tile_cap:
-            caps.occ_tile_cap = next_pow2(nt)
+            caps.occ_tile_cap = grow(nt)
             retry = True
     return retry
 
@@ -169,8 +177,7 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
     # plus the retained in-flight inputs, --mem-mesh the in-flight mesh
     # readback images.
     maxn = max((b.num_splats for b in buckets), default=1)
-    step = max(next_pow2(maxn) // 8, 1)
-    pad_to = ((maxn + step - 1) // step) * step
+    pad_to = eighth_pow2_ceil(maxn)
     block_bytes = pad_to * (8 * 4 + 1)  # padded f32 splats + valid bool
     q_budget = max(1, int(getattr(cfg, "mem_load_splats", 1 << 62))
                    // block_bytes)

@@ -34,6 +34,16 @@ def next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
+def eighth_pow2_ceil(n: int) -> int:
+    """Smallest eighth-pow2 step (k * 2^(p-3), k in 8..15) >= max(n, 1):
+    at most 12.5% slop vs up to 100% for plain pow2, while keeping the
+    set of distinct values (and hence compiled program shapes) small."""
+    n = max(int(n), 1)
+    p = next_pow2(n)
+    step = max(p // 8, 1)
+    return ((n + step - 1) // step) * step
+
+
 def set_tmp_dir(path: str) -> None:
     """Set the directory used for temporary spill files (--tmp-dir)."""
     global _tmp_dir
