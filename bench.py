@@ -80,6 +80,8 @@ def main():
     print(f"# warm run (incl. compile): {warm_elapsed:.2f}s = "
           f"{warm_msplats:.3f} Msplats/s", file=sys.stderr, flush=True)
 
+    # Reset stats so the dump below covers only the measured run.
+    get_registry().clear()
     t0 = time.monotonic()
     files = reconstruct(src, cfg, out, show_progress=False, caps=caps)
     elapsed = time.monotonic() - t0

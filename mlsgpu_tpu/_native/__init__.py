@@ -41,6 +41,8 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
+        if os.environ.get("MLSGPU_TPU_NO_NATIVE"):
+            return None  # debug escape hatch: force the numpy fallbacks
         src = os.path.join(_HERE, "native.cpp")
         stale = (os.path.exists(_SO) and os.path.exists(src)
                  and os.path.getmtime(src) > os.path.getmtime(_SO))

@@ -102,6 +102,17 @@ def generate(field: jnp.ndarray,
 
     num_cells = jnp.sum(occupied.astype(jnp.int32))
 
+    # True output totals over ALL occupied cells (not just the first
+    # cell_cap compacted ones): the host's overflow check must see the real
+    # requirement even when cell_cap itself overflows, or cap growth would
+    # converge by repeated clamped retries — and an undetected vertex/index
+    # overflow would ship a corrupt block. (256-row table gather over the
+    # dense code volume; cheap next to the classification itself.)
+    count_tab = jnp.asarray(tables.COUNT_TABLE)           # (256, 2)
+    counts_all = jnp.where(occupied[:, None], count_tab[code], 0)
+    true_nv = jnp.sum(counts_all[:, 0])
+    true_ni = jnp.sum(counts_all[:, 1])
+
     # --- compact occupied cells with one sort ---------------------------------
     # (pad cells get flat id `ncells`, sorting to the end; TPU sorts are
     # fast and data-independent, unlike serialized large scatters)
@@ -111,7 +122,6 @@ def generate(field: jnp.ndarray,
     occ_valid = occ_cell < ncells
     occ_cell_c = jnp.minimum(occ_cell, ncells - 1)
 
-    count_tab = jnp.asarray(tables.COUNT_TABLE)           # (256, 2)
     occ_code = code[occ_cell_c]
     nv_c = jnp.where(occ_valid, count_tab[occ_code, 0], 0)
     ni_c = jnp.where(occ_valid, count_tab[occ_code, 1], 0)
@@ -119,8 +129,10 @@ def generate(field: jnp.ndarray,
     i_end = jnp.cumsum(ni_c)
     v_start = v_end - nv_c
     i_start = i_end - ni_c
-    num_vertices = v_end[-1]
-    num_indices = i_end[-1]
+    # Equal to v_end[-1]/i_end[-1] whenever cells fit (the accepted case);
+    # strictly larger when cell_cap overflowed, so the host always retries.
+    num_vertices = true_nv
+    num_indices = true_ni
 
     offs = jnp.asarray(_CORNER_OFFS)
 

@@ -135,6 +135,17 @@ class OOCMesher:
         assert len(keys) == n - first_ext
         if n == 0:
             return
+        if len(tris):
+            # Fail loud on an internally inconsistent block: an out-of-range
+            # triangle index would otherwise be undefined behaviour inside
+            # the native union-find (the reference's mesher asserts the same
+            # invariant, src/mesher.cpp:447-468).
+            tmin, tmax = int(tris.min()), int(tris.max())
+            if tmin < 0 or tmax >= n:
+                raise StateError(
+                    f"corrupt block mesh for chunk {block.chunk_id}: "
+                    f"triangle index range [{tmin}, {tmax}] outside "
+                    f"[0, {n}) welded vertices")
 
         # 1. Local components over the block's triangles
         # (computeLocalComponents, src/mesher.cpp:220).

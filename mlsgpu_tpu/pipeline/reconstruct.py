@@ -174,7 +174,7 @@ def run_block(splats_padded: np.ndarray, valid: np.ndarray,
             cell_cap=caps.cell_cap, vertex_cap=caps.vertex_cap,
             index_cap=caps.index_cap, fit_shape=cfg.fit_shape,
             mls_backend=backend, occ_tile_cap=caps.occ_tile_cap)
-        if not _check_overflow(result, caps):
+        if not _check_overflow(result, caps, caps):
             return result
         stats.counter("device.capRetries").add(1)
         log.info("block cap overflow; retrying with larger caps")
@@ -207,10 +207,12 @@ def block_result_to_input(result: BlockResult, bucket: bucket_mod.Bucket
             # weld keys are reconstructed from the vertex encoding, so no
             # key region travels at all.
             from mlsgpu_tpu.ops.block import unpack_readback
-            flat = np.asarray(result.packed)
-            verts, tris, keys = unpack_readback(
-                flat, ni, nv, fe, result.pack_fmt,
-                bucket.cell_lo.astype(np.int64))
+            with stats.timer("readback.wait"):
+                flat = np.asarray(result.packed)
+            with stats.timer("readback.decode"):
+                verts, tris, keys = unpack_readback(
+                    flat, ni, nv, fe, result.pack_fmt,
+                    bucket.cell_lo.astype(np.int64))
             verts = verts + bucket.cell_lo.astype(np.float32)
             return BlockInput(chunk_id=bucket.chunk_id, vertices=verts,
                               first_external=fe, ext_keys=keys,

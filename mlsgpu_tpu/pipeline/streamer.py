@@ -17,6 +17,7 @@ doubled caps (rare; one extra compile thanks to the persistent cache).
 
 from __future__ import annotations
 
+import copy
 import queue
 import threading
 from collections import deque
@@ -73,38 +74,44 @@ def _dispatch(padded, valid, bucket, cfg, caps, device,
     return result
 
 
-def _check_overflow(result: BlockResult, caps) -> bool:
-    """Grow caps if the block overflowed; returns True when a retry is
-    needed (forces the diagnostic scalars — the sync point). Caps grow to
-    eighth-pow2 steps after ~6% headroom: the cap-sized gather/sort
-    stages of marching and weld are the device hot spots, so cap slop is
-    wall time (caps are value-neutral — the canonical face pass removed
-    the K-dependence of shared-corner values)."""
-    def grow(n):
+def _check_overflow(result: BlockResult, built, caps) -> bool:
+    """Detect overflow against `built` — the caps the result's program was
+    BUILT with — and grow the run's shared `caps` for the retry; returns
+    True when a retry is needed (forces the diagnostic scalars — the sync
+    point). `built` and `caps` differ when another block's retry grew the
+    shared caps while this result was in flight: checking against the live
+    caps would then accept a stale overflowed result whose garbage counts
+    happen to fit the grown caps (a real corrupt-mesh bug, not a
+    theoretical one). Caps grow to eighth-pow2 steps after ~6% headroom:
+    the cap-sized gather/sort stages of marching and weld are the device
+    hot spots, so cap slop is wall time (caps are value-neutral — the
+    canonical face pass removed the K-dependence of shared-corner
+    values)."""
+    def grow(cur, n):
         n = int(n) + int(n) // 16 + 1   # 6% headroom against thrash
-        return eighth_pow2_ceil(n)
+        return max(cur, eighth_pow2_ceil(n))
 
     retry = False
     mt = int(result.max_tile_candidates)
-    if mt > caps.max_candidates:
-        caps.max_candidates = grow(mt)
+    if mt > built.max_candidates:
+        caps.max_candidates = grow(caps.max_candidates, mt)
         retry = True
     nc = int(result.num_cells)
-    if nc > caps.cell_cap:
-        caps.cell_cap = grow(nc)
+    if nc > built.cell_cap:
+        caps.cell_cap = grow(caps.cell_cap, nc)
         retry = True
     nuw = int(result.num_unwelded)
-    if nuw > caps.vertex_cap:
-        caps.vertex_cap = grow(nuw)
+    if nuw > built.vertex_cap:
+        caps.vertex_cap = grow(caps.vertex_cap, nuw)
         retry = True
     ni = int(result.num_indices)
-    if ni > caps.index_cap:
-        caps.index_cap = 3 * grow(ni // 3 + 1)
+    if ni > built.index_cap:
+        caps.index_cap = 3 * grow(caps.index_cap // 3, ni // 3 + 1)
         retry = True
-    if caps.occ_tile_cap and getattr(result, "num_occ_tiles", None) is not None:
+    if built.occ_tile_cap and getattr(result, "num_occ_tiles", None) is not None:
         nt = int(result.num_occ_tiles)
-        if nt > caps.occ_tile_cap:
-            caps.occ_tile_cap = grow(nt)
+        if nt > built.occ_tile_cap:
+            caps.occ_tile_cap = grow(caps.occ_tile_cap, nt)
             retry = True
     return retry
 
@@ -251,17 +258,21 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
 
     def force(entry):
         from mlsgpu_tpu.ops.block import pack_format
-        b, padded, valid, result, device = entry
+        b, padded, valid, result, device, built = entry
         with timeplot.Action("compute", compute_worker,
                              stats.variable("device.time")):
-            while _check_overflow(result, caps):
+            while _check_overflow(result, built, caps):
                 stats.counter("device.capRetries").add(1)
                 log.info(f"block {b.chunk_id.gen}: cap overflow, retrying "
                          f"(K={caps.max_candidates}, cells={caps.cell_cap}, "
                          f"verts={caps.vertex_cap}, inds={caps.index_cap})")
+                built = copy.copy(caps)
                 result = _dispatch(padded, valid, b, cfg, caps, device,
                                    device_filter)
-        fmt = pack_format(cfg.levels, cfg.subsampling, caps.vertex_cap)
+        # The pack layout is the one the ACCEPTED result's program used —
+        # built.vertex_cap, not the live caps (which may have grown past an
+        # index-width threshold while this block was in flight).
+        fmt = pack_format(cfg.levels, cfg.subsampling, built.vertex_cap)
         return b, PrefetchedResult(result, pack_fmt=fmt)
 
     try:
@@ -278,9 +289,10 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
             device = devices[dev_idx % len(devices)]
             dev_idx += 1
             with stats.timer("streamer.dispatch"):
+                built = copy.copy(caps)
                 result = _dispatch(padded, valid, b, cfg, caps, device,
                                    device_filter)
-            inflight.append((b, padded, valid, result, device))
+            inflight.append((b, padded, valid, result, device, built))
             if len(inflight) > window:
                 yield force(inflight.popleft())
         while inflight:

@@ -216,6 +216,12 @@ class Registry:
         with self._lock:
             return iter(sorted(self._stats.values(), key=lambda s: s.name))
 
+    def clear(self) -> None:
+        """Drop all statistics (e.g. between a warm-up and a measured run,
+        so a dump reflects only the measured work)."""
+        with self._lock:
+            self._stats.clear()
+
     def merge(self, other: "Registry") -> None:
         """Merge another registry into this one (the MPI statistics-gather
         analogue, mlsgpu-mpi.cpp:302-339)."""

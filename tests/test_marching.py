@@ -183,3 +183,21 @@ class TestOverflow:
             jnp.asarray((0, 0, 0), jnp.int32),
             cell_cap=64, vertex_cap=128, index_cap=384)
         assert int(mesh.num_cells) > 64  # host sees overflow and retries
+
+    def test_true_totals_under_cell_overflow(self):
+        """num_vertices/num_indices must report the TRUE requirement even
+        when cell_cap itself overflows (a clamped report once let cap
+        growth converge on still-too-small caps and ship a corrupt
+        block)."""
+        field = sphere_field(32, (15.5, 15.5, 15.5), 12.0)
+        big = marching.generate(
+            jnp.asarray(field), jnp.asarray((31, 31, 31), jnp.int32),
+            jnp.asarray((0, 0, 0), jnp.int32),
+            cell_cap=1 << 14, vertex_cap=1 << 16, index_cap=3 << 16)
+        small = marching.generate(
+            jnp.asarray(field), jnp.asarray((31, 31, 31), jnp.int32),
+            jnp.asarray((0, 0, 0), jnp.int32),
+            cell_cap=64, vertex_cap=128, index_cap=384)
+        assert int(small.num_cells) == int(big.num_cells)
+        assert int(small.num_vertices) == int(big.num_vertices)
+        assert int(small.num_indices) == int(big.num_indices)

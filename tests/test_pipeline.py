@@ -497,3 +497,32 @@ def test_procedural_scan_source_coherent_and_consistent():
     info = blobs_mod.compute_blobs(src, spacing=src.splat_radius / 3.0,
                                    micro_cells=63)
     assert len(info.blobs) < 200000 / 5  # >=5 splats/blob on average
+
+
+class TestOverflowCheck:
+    def test_stale_inflight_result_detected(self):
+        """A result built with small caps must be flagged as overflowed even
+        after another block's retry grew the shared caps past its counts
+        (regression: the check once compared against the live caps and
+        accepted a garbage in-flight block)."""
+        import numpy as np
+        from mlsgpu_tpu.ops.block import BlockResult
+        from mlsgpu_tpu.pipeline.reconstruct import BlockCaps
+        from mlsgpu_tpu.pipeline.streamer import _check_overflow
+
+        def res(nuw):
+            z = np.int32(0)
+            return BlockResult(
+                vertices=None, key_hi=None, key_lo=None, triangles=None,
+                num_vertices=z, first_external=z, num_indices=np.int32(3),
+                max_tile_candidates=z, num_cells=np.int32(1),
+                num_unwelded=np.int32(nuw))
+
+        built = BlockCaps(512, 1024, 2048, 3 * 2048, 0)
+        live = BlockCaps(512, 1024, 8192, 3 * 8192, 0)  # grown meanwhile
+        r = res(3000)  # fits live caps, overflows the caps it was built with
+        assert _check_overflow(r, built, live) is True
+        # growth never shrinks the live caps
+        assert live.vertex_cap == 8192
+        # and a result that fit its own caps passes
+        assert _check_overflow(res(2000), built, live) is False
