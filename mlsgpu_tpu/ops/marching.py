@@ -51,14 +51,17 @@ def _slot_to_producer(starts: jnp.ndarray, valid: jnp.ndarray,
                       num_slots: int) -> jnp.ndarray:
     """Map each output slot to the producer index whose [start, next-start)
     range covers it. starts is non-decreasing (an exclusive prefix sum), so
-    this is rank computation: searchsorted with the sort-based method — one
-    fused sort, no scans (TPU lowers large scans/scatters pathologically)
-    and no per-slot binary search (random gathers are ~10x slower)."""
-    slots = jnp.arange(num_slots, dtype=jnp.int32)
-    bounded = jnp.where(valid, starts, jnp.int32(num_slots + 1))
-    prod = jnp.searchsorted(bounded, slots, side="right",
-                            method="sort").astype(jnp.int32) - 1
-    return jnp.maximum(prod, 0)  # empty-mesh guard (all slots invalid)
+    Scatter each valid producer's id to its start slot (max-combined: among
+    start ties the later producer owns the slot — the one with a non-empty
+    range) and forward-fill with cummax. The producer-sized scatter is cheap
+    on TPU — it was *cap-sized* scatters that serialized — and this beats
+    the previous sort-rank formulation ~1.4x (37ms vs 52ms at 131k
+    producers -> 1.31M slots on the bench block)."""
+    n_prod = starts.shape[0]
+    pos = jnp.where(valid, starts, jnp.int32(num_slots))  # dropped below
+    ids = jnp.arange(n_prod, dtype=jnp.int32)
+    seeded = jnp.zeros(num_slots, jnp.int32).at[pos].max(ids, mode="drop")
+    return jax.lax.cummax(seeded)
 
 
 def generate(field: jnp.ndarray,
@@ -83,45 +86,83 @@ def generate(field: jnp.ndarray,
     flat_field = field.reshape(-1)
 
     # --- dense classification ------------------------------------------------
-    corner_vals = [
-        field[dz:dz + nc, dy:dy + nc, dx:dx + nc]
-        for (dx, dy, dz) in _CORNER_OFFS
-    ]
+    sgn = []
     code = jnp.zeros((nc, nc, nc), dtype=jnp.int32)
     finite = jnp.ones((nc, nc, nc), dtype=bool)
-    for v, cv in enumerate(corner_vals):
-        code = code | (jnp.where(cv >= 0.0, 1, 0) << v)
+    for v, (dx, dy, dz) in enumerate(_CORNER_OFFS):
+        cv = field[dz:dz + nc, dy:dy + nc, dx:dx + nc]
+        s = jnp.where(cv >= 0.0, 1, 0)
+        sgn.append(s)
+        code = code | (s << v)
         finite = finite & jnp.isfinite(cv)
 
     zz, yy, xx = jnp.meshgrid(jnp.arange(nc), jnp.arange(nc), jnp.arange(nc),
                               indexing="ij")
     in_region = ((xx < region_cells[0]) & (yy < region_cells[1])
                  & (zz < region_cells[2]))
-    occupied = (finite & in_region & (code != 0) & (code != 255)).reshape(-1)
-    code = code.reshape(-1)
+    occ_mask = finite & in_region
+    occupied3 = occ_mask & (code != 0) & (code != 255)
 
-    num_cells = jnp.sum(occupied.astype(jnp.int32))
+    num_cells = jnp.sum(occupied3.astype(jnp.int32))
 
     # True output totals over ALL occupied cells (not just the first
     # cell_cap compacted ones): the host's overflow check must see the real
     # requirement even when cell_cap itself overflows, or cap growth would
     # converge by repeated clamped retries — and an undetected vertex/index
-    # overflow would ship a corrupt block. (256-row table gather over the
-    # dense code volume; cheap next to the classification itself.)
+    # overflow would ship a corrupt block. Computed *arithmetically* from the
+    # corner signs (a dense 256-row table gather here cost 104ms/block —
+    # gathers over the full volume serialize on TPU; this fuses into the
+    # classification): per cell, vertices = bipolar edges of the 19-edge
+    # set, and triangles per tet with p outside corners = min(p, 4-p)
+    # (1/2/1 for p=1/2/3; see tables._build — each cut tet emits exactly its
+    # bipolar edges as vertices and that many triangles).
+    nv3 = jnp.zeros((nc, nc, nc), dtype=jnp.int32)
+    for (ea, eb) in tables.EDGES:
+        nv3 = nv3 + (sgn[ea] ^ sgn[eb])
+    nt3 = jnp.zeros((nc, nc, nc), dtype=jnp.int32)
+    for t in tables.TETS:
+        p = sgn[t[0]] + sgn[t[1]] + sgn[t[2]] + sgn[t[3]]
+        nt3 = nt3 + jnp.minimum(p, 4 - p)
+    true_nv = jnp.sum(jnp.where(occ_mask, nv3, 0))
+    true_ni = 3 * jnp.sum(jnp.where(occ_mask, nt3, 0))
+
+    # --- compact occupied cells: two-level tile compaction --------------------
+    # A global occupancy sort over the dense volume cost 68ms/block; instead
+    # sort 8^3-cell tiles independently (one small batched sort), map each
+    # output slot to its tile via the tile-count prefix sum, and take the
+    # slot's rank within the tile (41ms measured). Compaction order becomes
+    # tile-major rather than raster — downstream only needs *some* fixed
+    # order (weld canonicalizes by key).
+    tile = 8
+    g = -(-nc // tile)
+    occp = jnp.pad(occupied3, ((0, g * tile - nc),) * 3)
+    otiles = (occp.reshape(g, tile, g, tile, g, tile)
+              .transpose(0, 2, 4, 1, 3, 5).reshape(g ** 3, tile ** 3))
+    tcnt = otiles.sum(axis=1, dtype=jnp.int32)
+    tstart = jnp.cumsum(tcnt) - tcnt
+    loc = jnp.where(otiles, jnp.arange(tile ** 3, dtype=jnp.int32)[None, :],
+                    tile ** 3)
+    loc_s = jax.lax.sort(loc, dimension=1)                # (g^3, tile^3)
+
+    slots = jnp.arange(cell_cap, dtype=jnp.int32)
+    tprod_tile = _slot_to_producer(tstart, tcnt > 0, cell_cap)
+    rank = jnp.clip(slots - tstart[tprod_tile], 0, tile ** 3 - 1)
+    l_id = jnp.minimum(loc_s[tprod_tile, rank], tile ** 3 - 1)
+
+    occ_valid = slots < jnp.minimum(num_cells, cell_cap)
+    t_x = tprod_tile % g
+    t_y = (tprod_tile // g) % g
+    t_z = tprod_tile // (g * g)
+    l_x = l_id % tile
+    l_y = (l_id // tile) % tile
+    l_z = l_id // (tile * tile)
+    cxd = t_x * tile + l_x
+    cyd = t_y * tile + l_y
+    czd = t_z * tile + l_z
+    occ_cell_c = jnp.minimum(czd * (nc * nc) + cyd * nc + cxd, ncells - 1)
+
+    code = code.reshape(-1)
     count_tab = jnp.asarray(tables.COUNT_TABLE)           # (256, 2)
-    counts_all = jnp.where(occupied[:, None], count_tab[code], 0)
-    true_nv = jnp.sum(counts_all[:, 0])
-    true_ni = jnp.sum(counts_all[:, 1])
-
-    # --- compact occupied cells with one sort ---------------------------------
-    # (pad cells get flat id `ncells`, sorting to the end; TPU sorts are
-    # fast and data-independent, unlike serialized large scatters)
-    flat_ids = jnp.arange(ncells, dtype=jnp.int32)
-    sort_key = jnp.where(occupied, flat_ids, ncells)
-    occ_cell = jax.lax.sort(sort_key)[:cell_cap]          # (cell_cap,)
-    occ_valid = occ_cell < ncells
-    occ_cell_c = jnp.minimum(occ_cell, ncells - 1)
-
     occ_code = code[occ_cell_c]
     nv_c = jnp.where(occ_valid, count_tab[occ_code, 0], 0)
     ni_c = jnp.where(occ_valid, count_tab[occ_code, 1], 0)
