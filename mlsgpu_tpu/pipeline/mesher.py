@@ -120,6 +120,10 @@ class OOCMesher:
         self._tris = SpillStore("mlsgpu_tpu.tris.", reorder_budget // 2)
         self._finalized = False
         self._stats = get_registry()
+        # per-container memory accounting (reference allocator.h:58-250)
+        self._key_entries = 0        # global key->clump map entries
+        self._chunk_key_entries = 0  # sum of per-chunk key->index entries
+        self._nsegs = 0              # spill segment descriptors
 
     # ------------------------------------------------------------------ add
     def add(self, block: BlockInput) -> None:
@@ -175,6 +179,7 @@ class OOCMesher:
         if len(keys):
             ext_clumps = vert_clump[first_ext:]
             prev, was_new = self.key_clump.get_or_insert(keys, ext_clumps)
+            self._key_entries += int(was_new.sum())
             dup = ~was_new & (prev != ext_clumps)
             if dup.any():
                 self.clumps.merge_pairs(prev[dup], ext_clumps[dup])
@@ -210,6 +215,7 @@ class OOCMesher:
         if new_flags.any():
             rec.key_index.get_or_insert(keys[new_flags],
                                         remap[first_ext:][new_flags])
+            self._chunk_key_entries += int(new_flags.sum())
 
         # vertex records: xyz float32 bits + clump id in a uint32 lane
         vrec_bytes = np.empty((n_new, 4), dtype=np.uint32)
@@ -217,6 +223,7 @@ class OOCMesher:
         vrec_bytes[:, 3] = vert_clump[write_mask].astype(np.uint32)
         off = self._verts.append(vrec_bytes)
         rec.vert_segments.append((off, n_new))
+        self._nsegs += 1
         rec.num_vertices += n_new
 
         # triangle records (chunk-local indices; the triangle's clump is its
@@ -226,9 +233,21 @@ class OOCMesher:
             trec = remap[tris].astype(np.uint32)
             toff = self._tris.append(trec)
             rec.tri_segments.append((toff, m))
+            self._nsegs += 1
             rec.num_triangles += m
 
         t_sp.__exit__()
+        # Systematic per-container peaks (the reference's allocator-backed
+        # Statistics::Peak per container, src/allocator.h:58-250): clump
+        # union-find arrays (allocated capacity), hash maps (~32B/entry at
+        # 0.5 load), and segment bookkeeping. mem.spill covers the reorder
+        # window; mem.blobs the blob arrays.
+        self._stats.peak("mem.mesherClumps").set(
+            self.clumps._parent.nbytes + self.clumps._size.nbytes
+            + self.clumps._nv.nbytes + self.clumps._nt.nbytes)
+        self._stats.peak("mem.mesherKeyMaps").set(
+            32 * (self._key_entries + self._chunk_key_entries))
+        self._stats.peak("mem.mesherSegments").set(120 * self._nsegs)
         self._stats.counter("mesher.blocks").add(1)
         self._stats.counter("mesher.vertices").add(n_new)
         self._stats.counter("mesher.triangles").add(m)

@@ -202,6 +202,12 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
                  f"(mem_host_splats/mem_mesh budgets)")
         window = max(eff_window, 1)
     load_q: "queue.Queue" = queue.Queue(maxsize=min(window + 1, q_budget))
+    # Per-container peaks (reference allocator.h:58-250): bytes queued by
+    # the loader, retained in-flight block inputs, and the in-flight mesh
+    # readback window — the three containers the mem_* budgets bound.
+    pk_load = stats.peak("mem.loadQueue")
+    pk_host = stats.peak("mem.hostSplats")
+    pk_mesh = stats.peak("mem.meshWindow")
     blob_start = info.blobs.start
     blob_count = info.blobs.count
     grid = info.grid
@@ -244,6 +250,7 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
                                                          pad_to=pad_to)
                 if not _put((b, padded, valid)):
                     return
+                pk_load.add(block_bytes)
         except BaseException as e:  # propagate to consumer
             error.append(e)
         finally:
@@ -286,6 +293,8 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
                     raise error[0]
                 break
             b, padded, valid = item
+            pk_load.add(-block_bytes)
+            pk_host.add(block_bytes)
             device = devices[dev_idx % len(devices)]
             dev_idx += 1
             with stats.timer("streamer.dispatch"):
@@ -293,10 +302,15 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
                 result = _dispatch(padded, valid, b, cfg, caps, device,
                                    device_filter)
             inflight.append((b, padded, valid, result, device, built))
+            pk_mesh.set(len(inflight) * mesh_bytes)
             if len(inflight) > window:
-                yield force(inflight.popleft())
+                out = force(inflight.popleft())
+                pk_host.add(-block_bytes)
+                yield out
         while inflight:
-            yield force(inflight.popleft())
+            out = force(inflight.popleft())
+            pk_host.add(-block_bytes)
+            yield out
     finally:
         cancel.set()
         thread.join()
