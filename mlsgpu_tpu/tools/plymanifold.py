@@ -12,7 +12,19 @@ from __future__ import annotations
 import sys
 
 from mlsgpu_tpu.io.ply import read_mesh
+from mlsgpu_tpu.utils.errors import FormatError
 from mlsgpu_tpu.utils.manifold import check_manifold
+
+
+def _read_mesh(path: str):
+    """Fast path for our own writer's output; general reader (ascii /
+    big-endian / arbitrary layout, tools/plyio.py = reference extras/ply.h)
+    for everything else."""
+    try:
+        return read_mesh(path)
+    except FormatError:
+        from mlsgpu_tpu.tools.plyio import read_mesh_any
+        return read_mesh_any(path)
 
 
 def main(argv=None) -> int:
@@ -22,7 +34,7 @@ def main(argv=None) -> int:
         return 2
     status = 0
     for path in argv:
-        verts, tris = read_mesh(path)
+        verts, tris = _read_mesh(path)
         rep = check_manifold(verts, tris)
         if rep.is_manifold:
             print(f"{path}: manifold; {rep.num_vertices} vertices, "

@@ -20,11 +20,18 @@ def main(argv=None) -> int:
     p.add_argument("-o", "--output", required=True)
     args = p.parse_args(argv)
 
+    from mlsgpu_tpu.utils.errors import FormatError
     parts = []
     for path in args.inputs:
-        r = PlyReader(path, smooth=1.0)
-        parts.append(r.read())
-        r.close()
+        try:
+            r = PlyReader(path, smooth=1.0)
+            parts.append(r.read())
+            r.close()
+        except FormatError:
+            # ascii / big-endian / reordered inputs: the general offline
+            # reader (tools/plyio.py = reference extras/ply.h)
+            from mlsgpu_tpu.tools.plyio import read_splats_any
+            parts.append(read_splats_any(path))
     write_splats_ply(args.output, np.concatenate(parts))
     total = sum(len(x) for x in parts)
     print(f"wrote {args.output}: {total} splats from {len(parts)} file(s)")
