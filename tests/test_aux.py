@@ -107,6 +107,26 @@ def test_analyze_timeplot(tmp_path, capsys):
     assert "1.500s" in out  # loader busy
 
 
+def test_draw_timeplot(tmp_path, capsys):
+    from mlsgpu_tpu.tools.draw_timeplot import main as dt_main
+    trace = tmp_path / "tp.txt"
+    trace.write_text(
+        "EVENT loader load 0.0 1.0\n"
+        "EVENT loader load 2.0 2.5\n"
+        "EVENT device compute 0.5 3.0\n"
+        "junk line\n")
+    out = tmp_path / "tp.svg"
+    assert dt_main([str(trace), "-o", str(out)]) == 0
+    svg = out.read_text()
+    assert svg.startswith("<svg") and svg.rstrip().endswith("</svg>")
+    assert "loader" in svg and "compute" in svg
+    assert svg.count("<rect") >= 4  # surface + 3 spans
+    # empty trace -> error exit
+    empty = tmp_path / "empty.txt"
+    empty.write_text("no events here\n")
+    assert dt_main([str(empty), "-o", str(tmp_path / "e.svg")]) == 1
+
+
 def test_cli_response_file(tmp_path):
     from mlsgpu_tpu.cli import build_parser
     rf = tmp_path / "args.txt"
