@@ -199,7 +199,17 @@ def main(argv: Optional[List[str]] = None) -> int:
             coordinator=args.coordinator,
             num_processes=args.num_processes,
             process_id=args.process_id)
-    _enable_compile_cache()
+    try:
+        _enable_compile_cache()  # first backend touch
+    except RuntimeError as e:
+        # Device backend init failed (driver missing, chip busy, tunnel
+        # down). The reference exits with a clear message when no usable
+        # CL device exists (mlsgpu.cpp:219-228); do the same instead of a
+        # traceback, and point at the CPU escape hatch.
+        print(f"error: device backend unavailable: {e}\n"
+              f"       (set MLSGPU_TPU_FORCE_CPU=1 to run on the CPU "
+              f"backend)", file=sys.stderr)
+        return 1
     if args.quiet:
         log.set_log_level("quiet")
     elif args.debug:

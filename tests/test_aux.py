@@ -127,6 +127,23 @@ def test_draw_timeplot(tmp_path, capsys):
     assert dt_main([str(empty), "-o", str(tmp_path / "e.svg")]) == 1
 
 
+def test_cli_backend_unavailable(tmp_path, monkeypatch, capsys):
+    """Backend init failure (driver missing / tunnel down) exits with a
+    clear message, not a traceback (reference mlsgpu.cpp:219-228)."""
+    import jax
+    from mlsgpu_tpu.cli import main
+
+    def boom():
+        raise RuntimeError("Unable to initialize backend 'tpu': UNAVAILABLE")
+
+    monkeypatch.setattr(jax, "default_backend", boom)
+    rc = main(["-o", str(tmp_path / "o.ply"), str(tmp_path / "in.ply")])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "device backend unavailable" in err
+    assert "MLSGPU_TPU_FORCE_CPU" in err
+
+
 def test_cli_response_file(tmp_path):
     from mlsgpu_tpu.cli import build_parser
     rf = tmp_path / "args.txt"
