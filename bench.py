@@ -44,7 +44,20 @@ def make_cloud(n, seed=123):
 
 def main():
     from mlsgpu_tpu.cli import _enable_compile_cache
-    _enable_compile_cache()
+    try:
+        _enable_compile_cache()  # first backend touch
+    except RuntimeError as e:
+        # Transient tunnel/driver outage ("Unable to initialize backend").
+        # The failed backend is cached process-wide, so retry by re-exec
+        # (bounded; the freshest attempt state rides an env counter).
+        attempt = int(os.environ.get("BENCH_INIT_ATTEMPT", "0"))
+        print(f"# backend init failed (attempt {attempt}): {e}",
+              file=sys.stderr, flush=True)
+        if attempt >= 2:
+            raise
+        os.environ["BENCH_INIT_ATTEMPT"] = str(attempt + 1)
+        time.sleep(60)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
     from mlsgpu_tpu.config import ReconstructConfig
     from mlsgpu_tpu.io.splat_set import SequenceSource
     from mlsgpu_tpu.pipeline.reconstruct import reconstruct
