@@ -100,6 +100,21 @@ def report(stats: Dict[str, dict], out=None) -> None:
         print(f"output: {nverts} vertices, {ntris} triangles "
               f"({ntris / run / 1e6:.2f} Mtris/s)", file=out)
 
+    # Device-stage breakdown (--statistics-device; the reference's
+    # statistics_cl kernel.*.time harvest, src/statistics_cl.h:43-93).
+    dev = [(k, v) for k, v in stats.items()
+           if k.startswith("device.") and k.endswith(".time")
+           and v["type"] == "variable" and k != "device.time"]
+    if dev:
+        dtot = sum(float(v["sum"]) for _, v in dev)
+        print("\ndevice stages (--statistics-device):", file=out)
+        for k, v in sorted(dev, key=lambda kv: -kv[1]["sum"]):
+            stage = k[len("device."):-len(".time")]
+            t = float(v["sum"])
+            pct = 100.0 * t / dtot if dtot else 0.0
+            print(f"  {stage:<22}{t:>9.2f}s{pct:>7.1f}%"
+                  f"{v.get('n', 0):>10}", file=out)
+
     peaks = [(k, v) for k, v in stats.items() if v["type"] == "peak"]
     if peaks:
         print("\npeak memory:", file=out)

@@ -229,6 +229,8 @@ def test_analyze_stats(tmp_path, capsys):
         "mesher.blocks: 10\n"
         "mesher.vertices: 1000\n"
         "mesher.triangles: 2000\n"
+        "device.mls.time: 3.0 : 0.3 +/- 0.0 [10]\n"
+        "device.marching.time: 1.0 : 0.1 +/- 0.0 [10]\n"
         "mem.peak: 5 (peak 1048576)\n")
     assert as_main([str(stats)]) == 0
     out = capsys.readouterr().out
@@ -236,6 +238,9 @@ def test_analyze_stats(tmp_path, capsys):
     assert "device compute" in out and "40.0%" in out
     assert "blocks: 10" in out
     assert "1.0 MiB" in out
+    # --statistics-device stage breakdown (statistics_cl parity)
+    assert "device stages" in out
+    assert "mls" in out and "75.0%" in out
 
 
 def test_simulate_tool(tmp_path, capsys):
