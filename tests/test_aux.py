@@ -127,6 +127,38 @@ def test_draw_timeplot(tmp_path, capsys):
     assert dt_main([str(empty), "-o", str(tmp_path / "e.svg")]) == 1
 
 
+def test_procedural_scan_source():
+    """bench_ooc's disk-free source honors the SplatSource contract:
+    read_ranges regenerates exactly what iter_chunks streams, splats are
+    finite, on the sphere, and consecutive ids are spatial neighbors
+    (the coherence FastBlobSet-style blob RLE depends on)."""
+    import numpy as np
+    from mlsgpu_tpu.tools.bench_ooc import ProceduralScanSource
+
+    src = ProceduralScanSource(10_000, radius=3.0)
+    assert len(src) == 10_000
+    chunks = list(src.iter_chunks(chunk_size=4096))
+    assert [c[0] for c in chunks] == [0, 4096, 8192]
+    streamed = np.concatenate([c[1] for c in chunks])
+    assert streamed.shape == (10_000, 8)
+    # regeneration matches streaming bitwise
+    again = src.read_ranges([(0, 5000), (5000, 10_000)])
+    np.testing.assert_array_equal(streamed, again)
+    ranged = src.read_ranges([(123, 456)])
+    np.testing.assert_array_equal(streamed[123:456], ranged)
+    # geometry: on the sphere, unit normals, constant radius, finite
+    assert np.isfinite(streamed).all()
+    r = np.linalg.norm(streamed[:, 0:3], axis=1)
+    np.testing.assert_allclose(r, 3.0, atol=1e-3)
+    np.testing.assert_allclose(
+        np.linalg.norm(streamed[:, 4:7], axis=1), 1.0, atol=1e-5)
+    # scanline coherence: median hop between consecutive samples is a
+    # small fraction of the sphere diameter
+    hops = np.linalg.norm(np.diff(streamed[:, 0:3], axis=0), axis=1)
+    assert np.median(hops) < 0.2
+    assert src.read_ranges([]).shape == (0, 8)
+
+
 def test_cli_backend_unavailable(tmp_path, monkeypatch, capsys):
     """Backend init failure (driver missing / tunnel down) exits with a
     clear message, not a traceback (reference mlsgpu.cpp:219-228)."""
