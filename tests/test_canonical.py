@@ -22,6 +22,11 @@ SUB = 3
 B = 1 << (LEVELS + SUB - 1)   # 32 corners per axis
 
 
+# perCommit-tier suite (reference TestSet::perCommit, test/testutil.cpp:43-47):
+# compile-heavy; deselect with `-m "not slow"` for the fast perBuild tier.
+pytestmark = pytest.mark.slow
+
+
 def eval_block(splats, origin, region, max_candidates=2048):
     n = len(splats)
     pos = splats[:, 0:3]

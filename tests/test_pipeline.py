@@ -17,6 +17,11 @@ from mlsgpu_tpu.utils.manifold import check_manifold
 from tests import oracle
 
 
+# perCommit-tier suite (reference TestSet::perCommit, test/testutil.cpp:43-47):
+# compile-heavy; deselect with `-m "not slow"` for the fast perBuild tier.
+pytestmark = pytest.mark.slow
+
+
 def make_cloud(n=5000, seed=0, center=(5, 5, 5), radius=3.0, sr=0.1):
     rng = np.random.default_rng(seed)
     return oracle.sphere_cloud(center, radius, n, sr, rng)

@@ -17,6 +17,11 @@ CENTER = np.array([0.7, -0.3, 0.2])
 RADIUS = 3.0
 
 
+# perCommit-tier suite (reference TestSet::perCommit, test/testutil.cpp:43-47):
+# compile-heavy; deselect with `-m "not slow"` for the fast perBuild tier.
+pytestmark = pytest.mark.slow
+
+
 def small_config(**kw) -> ReconstructConfig:
     base = dict(
         fit_grid=0.1, fit_smooth=1.0, fit_prune=0.02,

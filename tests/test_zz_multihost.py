@@ -24,6 +24,11 @@ CENTER = np.array([0.7, -0.3, 0.2])
 RADIUS = 3.0
 
 
+# perCommit-tier suite (reference TestSet::perCommit, test/testutil.cpp:43-47):
+# compile-heavy; deselect with `-m "not slow"` for the fast perBuild tier.
+pytestmark = pytest.mark.slow
+
+
 def run_ranks(size, fn):
     """Run fn(transport) on `size` threaded ranks; returns per-rank results.
     Any rank exception is re-raised."""

@@ -17,6 +17,11 @@ from mlsgpu_tpu.io import ply
 from tests import oracle
 
 
+# perCommit-tier suite (reference TestSet::perCommit, test/testutil.cpp:43-47):
+# compile-heavy; deselect with `-m "not slow"` for the fast perBuild tier.
+pytestmark = pytest.mark.slow
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
