@@ -85,6 +85,22 @@ class TestEndToEnd:
         files = reconstruct(make_sphere_source(), cfg, out)
         check_sphere_output(out, closed=True)
 
+    def test_rerun_identical_geometry(self, tmp_path):
+        """The determinism contract (doc/mlsgpu-user-manual.xml:494-499):
+        rerunning the same input yields identical geometry. Ours is stronger
+        than the reference's — the pipeline is order-deterministic, so
+        vertices and triangles match bitwise including order."""
+        src = make_sphere_source()
+        cfg = small_config()
+        out1 = str(tmp_path / "r1.ply")
+        out2 = str(tmp_path / "r2.ply")
+        reconstruct(src, cfg, out1)
+        reconstruct(src, cfg, out2)
+        v1, t1 = ply.read_mesh(out1)
+        v2, t2 = ply.read_mesh(out2)
+        np.testing.assert_array_equal(v1, v2)
+        np.testing.assert_array_equal(t1, t2)
+
     def test_multi_bucket_matches_single(self, tmp_path):
         """Block decomposition must not change the surface beyond float
         noise at shared corners: vertex/triangle counts agree to ~0.1% and
