@@ -80,6 +80,13 @@ def generate(field: jnp.ndarray,
       *_cap: static capacities.
     """
     assert index_cap % 3 == 0
+    # Producer bases ride f32 lanes of occ_row (exact only to 2^24); caps
+    # are static, so guard here rather than corrupt triangles silently.
+    if vertex_cap >= 1 << 24 or index_cap // 3 >= 1 << 24:
+        raise ValueError(
+            f"vertex_cap {vertex_cap} / index_cap//3 {index_cap // 3} exceed "
+            "2^24-1 (f32-exact packing bound); split the region instead "
+            "(lower --levels or the cell budget)")
     b = field.shape[0]
     nc = b - 1
     ncells = nc ** 3

@@ -466,9 +466,12 @@ def _merge_stats(transport: Transport) -> None:
 def _checkpoint_shards(checkpoint_path: str) -> List[str]:
     import glob
     import re
-    files = [f for f in glob.glob(checkpoint_path + ".rank*")
-             if re.fullmatch(r".*\.rank\d{4}", f)]
-    return sorted(files)
+    # {rank:04d} pads to 4 digits but ranks >= 10000 produce longer
+    # suffixes; accept any length and sort numerically by rank so shard
+    # order is stable past rank 9999.
+    files = [(int(m.group(1)), f) for f in glob.glob(checkpoint_path + ".rank*")
+             if (m := re.fullmatch(r".*\.rank(\d{4,})", f))]
+    return [f for _, f in sorted(files)]
 
 
 def resume_distributed(checkpoint_path: str, cfg: ReconstructConfig,

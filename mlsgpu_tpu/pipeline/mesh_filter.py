@@ -73,9 +73,17 @@ class DeviceScaleBias:
                 and self.bias == other.bias)
 
     def __call__(self, vertices, cell_origin):
+        # Vertices here are block-local; the host later adds the unscaled
+        # block origin (block_result_to_input). Apply the affine map in
+        # *global* grid coords and re-subtract the origin so that addition
+        # lands on scale*(v_local + origin) + bias — otherwise scale != 1
+        # would make welded vertices block-origin-dependent (adjacent
+        # blocks disagreeing on shared vertices).
         import jax.numpy as jnp
-        return (vertices * jnp.float32(self.scale)
-                + jnp.asarray(self.bias, jnp.float32)[None, :])
+        org = cell_origin.astype(jnp.float32)[None, :]
+        s = jnp.float32(self.scale)
+        b = jnp.asarray(self.bias, jnp.float32)[None, :]
+        return (vertices + org) * s + b - org
 
 
 class DeviceFilterChain:

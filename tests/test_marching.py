@@ -201,3 +201,19 @@ class TestOverflow:
         assert int(small.num_cells) == int(big.num_cells)
         assert int(small.num_vertices) == int(big.num_vertices)
         assert int(small.num_indices) == int(big.num_indices)
+
+    def test_cap_beyond_f32_exact_bound_rejected(self):
+        """Producer bases ride f32 lanes (exact to 2^24); caps past that
+        must raise instead of silently corrupting triangle bases."""
+        field = sphere_field(8, (3.5, 3.5, 3.5), 2.0)
+        import pytest
+        with pytest.raises(ValueError, match="2\\^24"):
+            marching.generate(
+                jnp.asarray(field), jnp.asarray((7, 7, 7), jnp.int32),
+                jnp.asarray((0, 0, 0), jnp.int32),
+                cell_cap=64, vertex_cap=1 << 24, index_cap=3 << 8)
+        with pytest.raises(ValueError, match="2\\^24"):
+            marching.generate(
+                jnp.asarray(field), jnp.asarray((7, 7, 7), jnp.int32),
+                jnp.asarray((0, 0, 0), jnp.int32),
+                cell_cap=64, vertex_cap=1 << 8, index_cap=3 << 24)

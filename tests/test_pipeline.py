@@ -486,6 +486,39 @@ def test_device_filter_chain_end_to_end(tmp_path):
         np.sort(v2[:, 0]), np.sort(v1[:, 0]) + 0.5, atol=1e-4)
 
 
+@pytest.mark.slow
+def test_device_filter_scale_is_origin_independent(tmp_path):
+    """DeviceScaleBias with scale != 1 must apply a single global affine
+    map: the output must be scale * plain + const for one run-wide const,
+    not a per-block transform (the regression: applying scale to
+    block-local coords before the unscaled origin is re-added makes
+    vertex positions depend on which block computed them)."""
+    from mlsgpu_tpu.config import ReconstructConfig
+    from mlsgpu_tpu.pipeline.mesh_filter import (DeviceFilterChain,
+                                                 DeviceScaleBias)
+    from mlsgpu_tpu.pipeline.reconstruct import reconstruct
+    rng = np.random.default_rng(9)
+    splats = oracle.sphere_cloud(np.zeros(3), 3.0, 8000, 0.35, rng)
+    base = dict(fit_grid=0.1, fit_smooth=1.0, levels=4, subsampling=3,
+                leaf_cells=8, max_device_splats=200000, tile_candidates=512,
+                cell_cap=1 << 15, vertex_cap=1 << 17, index_cap=3 << 17,
+                progress=False)
+    out1 = str(tmp_path / "plain.ply")
+    out2 = str(tmp_path / "scaled.ply")
+    reconstruct(SequenceSource(splats), ReconstructConfig(**base), out1)
+    chain = DeviceFilterChain([DeviceScaleBias(scale=2.0)])
+    reconstruct(SequenceSource(splats), ReconstructConfig(**base), out2,
+                device_filter=chain)
+    v1, t1 = ply.read_mesh(out1)
+    v2, t2 = ply.read_mesh(out2)
+    assert len(v1) == len(v2) and len(t1) == len(t2)
+    for ax in range(3):
+        a = np.sort(v1[:, ax])
+        b = np.sort(v2[:, ax])
+        const = np.median(b - 2.0 * a)
+        np.testing.assert_allclose(b, 2.0 * a + const, atol=1e-4)
+
+
 def test_procedural_scan_source_coherent_and_consistent():
     """The OOC benchmark's procedural source must regenerate ranges
     identically and be spatially coherent enough for blob compression

@@ -290,3 +290,18 @@ def test_local_transport_progress_counter():
     other = trs[0].progress_counter("y")
     other.add(1)
     assert other.read() == 1 and c0.read() == 12
+
+
+def test_checkpoint_shards_numeric_order_and_long_ranks(tmp_path):
+    """Shard discovery must accept >4-digit rank suffixes ({rank:04d} pads,
+    it does not truncate) and order shards numerically, not lexically."""
+    from mlsgpu_tpu.parallel.multihost import _checkpoint_shards
+    base = str(tmp_path / "ckpt")
+    ranks = [0, 2, 10, 9999, 10000, 12345]
+    for r in ranks:
+        with open(f"{base}.rank{r:04d}", "wb"):
+            pass
+    with open(base + ".rankX", "wb"):
+        pass  # non-numeric suffix must be ignored
+    shards = _checkpoint_shards(base)
+    assert shards == [f"{base}.rank{r:04d}" for r in sorted(ranks)]
