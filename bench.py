@@ -10,10 +10,21 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 publishes no numbers (BASELINE.md), and ~10 Msplats/s is our estimate for
 mlsgpu on a modern GPU (the 2013 paper's Radeon HD 5970-era results scaled
 by memory bandwidth), so vs_baseline > 1.0 means the north star is met.
+
+Outage resilience (this platform's TPU tunnel can be down for hours, and a
+backend-init attempt hangs ~25 min before raising UNAVAILABLE):
+* backend availability is probed in a BOUNDED subprocess (3-min timeout per
+  attempt) and retried within BENCH_PROBE_BUDGET seconds, so a dead tunnel
+  costs bounded time instead of eating the whole harness timeout;
+* the best measurement so far (warm run counts) is kept in `_best`, and a
+  SIGTERM/SIGINT (e.g. `timeout bench.py`) prints it as the JSON line
+  before exiting — a flaky run degrades the number instead of erasing it.
 """
 
 import json
 import os
+import signal
+import subprocess
 import sys
 import tempfile
 import time
@@ -22,6 +33,78 @@ import numpy as np
 
 N_SPLATS = int(os.environ.get("BENCH_SPLATS", 2_000_000))
 BASELINE_MSPLATS = 10.0
+
+_best = {
+    "metric": "end-to-end points->manifold-mesh throughput (single chip)",
+    "value": 0.0,
+    "unit": "Msplats/s",
+    "vs_baseline": 0.0,
+    "note": "no measurement completed",
+}
+_emitted = False
+
+
+def _emit():
+    """Print the best-known result as the single stdout JSON line (once)."""
+    global _emitted
+    if _emitted:
+        return
+    _emitted = True
+    out = dict(_best)
+    if not out.get("note"):
+        out.pop("note", None)
+    print(json.dumps(out), flush=True)
+
+
+def _record(msplats: float, note: str = "") -> None:
+    if msplats > _best["value"]:
+        _best["value"] = round(msplats, 3)
+        _best["vs_baseline"] = round(msplats / BASELINE_MSPLATS, 3)
+        _best["note"] = note
+
+
+def _on_term(signum, frame):
+    print(f"# signal {signum}: emitting best-effort result", file=sys.stderr,
+          flush=True)
+    _emit()
+    os._exit(0)
+
+
+def probe_backend() -> bool:
+    """Return True once a bounded subprocess can initialize the JAX backend.
+
+    Each attempt is `timeout`-bounded (a live tunnel initializes in seconds;
+    a dead one hangs ~25 min then raises), retried until BENCH_PROBE_BUDGET
+    seconds (default 45 min) elapse. Skipped on the CPU backend."""
+    if os.environ.get("MLSGPU_TPU_FORCE_CPU"):
+        return True
+    if os.environ.get("BENCH_FORCE_PROBE_FAIL"):  # test hook
+        print("# backend probe failed (forced by test hook)",
+              file=sys.stderr, flush=True)
+        return False
+    budget = float(os.environ.get("BENCH_PROBE_BUDGET", 2700))
+    deadline = time.monotonic() + budget
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices()"],
+                timeout=180, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            print(f"# backend probe ok (attempt {attempt})", file=sys.stderr,
+                  flush=True)
+            return True
+        remaining = deadline - time.monotonic()
+        print(f"# backend probe failed (attempt {attempt}, rc={rc}, "
+              f"{remaining:.0f}s budget left)", file=sys.stderr, flush=True)
+        if remaining <= 0:
+            return False
+        time.sleep(min(30, max(remaining, 1)))
 
 
 def make_cloud(n, seed=123):
@@ -43,18 +126,28 @@ def make_cloud(n, seed=123):
 
 
 def main():
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+
+    if not probe_backend():
+        _best["note"] = "backend unavailable (TPU tunnel outage)"
+        _emit()
+        return
+
     from mlsgpu_tpu.cli import _enable_compile_cache
     try:
         _enable_compile_cache()  # first backend touch
     except RuntimeError as e:
-        # Transient tunnel/driver outage ("Unable to initialize backend").
-        # The failed backend is cached process-wide, so retry by re-exec
-        # (bounded; the freshest attempt state rides an env counter).
+        # The probe passed but in-process init still failed (race with a
+        # tunnel flap). The failed backend is cached process-wide, so retry
+        # by re-exec (bounded; attempt state rides an env counter).
         attempt = int(os.environ.get("BENCH_INIT_ATTEMPT", "0"))
         print(f"# backend init failed (attempt {attempt}): {e}",
               file=sys.stderr, flush=True)
         if attempt >= 2:
-            raise
+            _best["note"] = f"backend init failed: {e}"
+            _emit()
+            return
         os.environ["BENCH_INIT_ATTEMPT"] = str(attempt + 1)
         time.sleep(60)
         os.execv(sys.executable, [sys.executable] + sys.argv)
@@ -87,9 +180,11 @@ def main():
     t0 = time.monotonic()
     reconstruct(src, cfg, out, show_progress=False, caps=caps)
     warm_elapsed = time.monotonic() - t0
-    # Preliminary note (stderr: stdout must carry exactly ONE JSON line for
-    # the harness) in case it times out before the clean measured run.
+    # Keep the warm number as the best-effort fallback (stderr note: stdout
+    # must carry exactly ONE JSON line for the harness) in case the clean
+    # measured run is cut off.
     warm_msplats = N_SPLATS / warm_elapsed / 1e6
+    _record(warm_msplats, "warm run only (includes compile time)")
     print(f"# warm run (incl. compile): {warm_elapsed:.2f}s = "
           f"{warm_msplats:.3f} Msplats/s", file=sys.stderr, flush=True)
 
@@ -100,13 +195,11 @@ def main():
     elapsed = time.monotonic() - t0
 
     msplats = N_SPLATS / elapsed / 1e6
-    result = {
-        "metric": "end-to-end points->manifold-mesh throughput (single chip)",
-        "value": round(msplats, 3),
-        "unit": "Msplats/s",
-        "vs_baseline": round(msplats / BASELINE_MSPLATS, 3),
-    }
-    print(json.dumps(result))
+    _record(msplats, "")
+    _best["note"] = ""
+    _best["value"] = round(msplats, 3)
+    _best["vs_baseline"] = round(msplats / BASELINE_MSPLATS, 3)
+    _emit()
     # secondary metric from BASELINE.md's protocol: grid-cell throughput
     from mlsgpu_tpu.pipeline.blobs import compute_blobs
     info = compute_blobs(SequenceSource(splats), float(spacing),

@@ -254,6 +254,7 @@ def block_step_body(splats: jnp.ndarray,
                     region_cells: jnp.ndarray,
                     cell_origin: jnp.ndarray,
                     boundary_factor: float,
+                    points: jnp.ndarray = None,
                     *,
                     levels: int,
                     subsampling: int,
@@ -313,6 +314,14 @@ def block_step_body(splats: jnp.ndarray,
             cell_origin, region_cells, tiles_per_axis, max_candidates,
             fit_shape, boundary_factor, tile_chunk=tile_chunk)
         max_total = jnp.maximum(max_total, face_max)
+        if points is not None and points.shape[0] > 0:
+            # Decomposition edge-skeleton points recomputed per-point so
+            # blocks agree bitwise ACROSS face axes too (T-junction seams;
+            # see ops/mls.skeleton_point_field).
+            field = mls.skeleton_point_field(
+                field, binned.entry_data, binned.entry_vals, starts, lens,
+                cell_origin, points, tiles_per_axis, max_candidates,
+                fit_shape, boundary_factor)
 
     mesh = marching.generate(field, region_cells, cell_origin,
                              cell_cap, vertex_cap, index_cap)
@@ -363,7 +372,7 @@ block_step.__doc__ = "Jitted block_step_body (one compile per static config)."
 
 
 def block_step_staged(splats, valid, region_cells, cell_origin,
-                      boundary_factor, *, levels, subsampling,
+                      boundary_factor, points=None, *, levels, subsampling,
                       max_candidates, cell_cap, vertex_cap, index_cap,
                       fit_shape="sphere", tile_chunk=32, mls_backend="xla",
                       pack_output=False, occ_tile_cap=0, device_filter=None,
@@ -421,6 +430,12 @@ def block_step_staged(splats, valid, region_cells, cell_origin,
             tiles_per_axis, max_candidates, fit_shape,
             jnp.float32(boundary_factor), tile_chunk)
         max_total = jnp.maximum(max_total, face_max)
+        if points is not None and points.shape[0] > 0:
+            field = timed(
+                "skeleton", _jit_skeleton_field, field, binned.entry_data,
+                binned.entry_vals, starts, lens, cell_origin, points,
+                tiles_per_axis, max_candidates, fit_shape,
+                jnp.float32(boundary_factor))
     mesh = timed("marching", _jit_marching, field, region_cells, cell_origin,
                  cell_cap, vertex_cap, index_cap)
     welded = timed("weld", _jit_weld, mesh.vertices, mesh.key_hi, mesh.key_lo,
@@ -453,6 +468,10 @@ _jit_face_field = functools.partial(
         lambda f, e, v, s, l, o, r, tpa, K, shape, bf, chunk:
         mls.canonical_face_field(f, e, v, s, l, o, r, tpa, K, shape, bf,
                                  tile_chunk=chunk))
+_jit_skeleton_field = functools.partial(
+    jax.jit, static_argnums=(7, 8, 9))(
+        lambda f, e, v, s, l, o, p, tpa, K, shape, bf:
+        mls.skeleton_point_field(f, e, v, s, l, o, p, tpa, K, shape, bf))
 _jit_marching = functools.partial(
     jax.jit, static_argnums=(3, 4, 5))(marching.generate)
 _jit_weld = jax.jit(weld.weld)

@@ -450,3 +450,169 @@ def canonical_face_field(field: jnp.ndarray,
     field = field.at[coords[..., 2], coords[..., 1], coords[..., 0]].set(
         out, mode="drop")
     return field, face_max
+
+
+def skeleton_point_field(field: jnp.ndarray,
+                         entry_data: jnp.ndarray,
+                         entry_vals: jnp.ndarray,
+                         seg_starts: jnp.ndarray,
+                         seg_lens: jnp.ndarray,
+                         cell_origin: jnp.ndarray,
+                         points: jnp.ndarray,
+                         tiles_per_axis: int,
+                         max_candidates: int,
+                         fit_shape: str,
+                         boundary_factor,
+                         point_chunk: int = 64) -> jnp.ndarray:
+    """Recompute `field` at decomposition edge-skeleton points so that EVERY
+    block containing such a point computes a bitwise-identical value — the
+    cross-axis completion of canonical_face_field, which is canonical only
+    per face axis (a region-edge point is covered by several face passes,
+    and at a T-junction different blocks keep different axes' values).
+
+    Canonicality argument, keyed purely by the point's global position:
+    * candidates come from ONE tile whose closed 8-cell box contains the
+      point. Binning emits each splat to every node of its <= 2-per-axis
+      neighborhood that its ball intersects (ops/binning.py:105-118 with the
+      conservative sphere/box gate), so the chain of any tile whose closed
+      box contains p already holds every splat with positive weight at p:
+      dist(splat, node box) <= dist(splat, p) < r. Which containing tile a
+      block picks is irrelevant — the strict per-point filter below reduces
+      any such chain to the same set;
+    * the filter keeps exactly {splats with |x - p|^2 / r^2 < cutoff}, a
+      global predicate (such a splat's ball penetrates every region having
+      p on its boundary, so it is in every relevant bucket's splat list);
+    * the kept entries are compacted in ascending stream order
+      (entry_vals ranks block rows, and rows are ascending in global splat
+      order), so both blocks hold the same physical splats at the same slot
+      positions and the fixed-shape reductions round identically;
+    * all arithmetic runs in the frame of the global 8-aligned cube
+      containing p (exact integer-in-f32 anchor), identical everywhere.
+
+    Args:
+      points: (P, 3) int32 global corner coords; rows with any negative
+        coordinate are padding. Points outside this block scatter-drop.
+    Returns the field with skeleton points overwritten. Needs no cap of its
+    own: per-point candidate counts are per-tile totals, which the interior
+    pass's max_total retry already bounds by `max_candidates`.
+    """
+    fit = FIT_MODELS[fit_shape]
+    tpa = int(tiles_per_axis)
+    num_tiles = tpa ** 3
+    K = int(max_candidates)
+    L = seg_starts.shape[1]
+    E = entry_data.shape[0]
+    P = points.shape[0]
+    if P == 0:
+        return field
+
+    cum = jnp.cumsum(seg_lens, axis=1)
+    cum0 = jnp.concatenate(
+        [jnp.zeros((num_tiles, 1), jnp.int32), cum[:, :-1]], axis=1)
+    totals = cum[:, -1]
+    ks = jnp.arange(K, dtype=jnp.int32)
+    cut = jnp.float32(RADIUS_CUTOFF)
+    bf = jnp.float32(boundary_factor)
+
+    pts = points.astype(jnp.int32)
+    valid_pt = jnp.all(pts >= 0, axis=1)
+    lp = pts - cell_origin.astype(jnp.int32)[None, :]
+    # one tile whose CLOSED box contains the point (clip handles the far
+    # boundary plane, local coord == 8 * tpa - ... == region extent)
+    t = jnp.clip(lp // TILE, 0, tpa - 1)
+    tid = (t[:, 2] * tpa + t[:, 1]) * tpa + t[:, 0]
+    tid = jnp.where(valid_pt, tid, 0)
+
+    occ = valid_pt & (totals[tid] > 0)
+    n_occ = jnp.sum(occ.astype(jnp.int32))
+    order = jnp.argsort(~occ, stable=True).astype(jnp.int32)
+    chunk = min(point_chunk, P)
+    n_chunks = (n_occ + chunk - 1) // chunk
+
+    out_init = jnp.full((P,), jnp.nan, jnp.float32)
+
+    def chunk_body(carry):
+        j, out = carry
+        pidx = jax.lax.dynamic_slice(order, (j * chunk,), (chunk,))
+        tids = tid[pidx]                                     # (C,)
+        pg = pts[pidx].astype(jnp.float32)                   # (C, 3)
+
+        # per-tile K-slot walk (same form as the interior path)
+        c_starts = seg_starts[tids]
+        c_cum = cum[tids]
+        c_cum0 = cum0[tids]
+        c_tot = totals[tids]
+        lvl = jnp.sum(c_cum[:, None, :] <= ks[None, :, None], axis=-1)
+        lvl_c = jnp.minimum(lvl, L - 1)
+        start_k = jnp.take_along_axis(c_starts, lvl_c, axis=1)
+        cum0_k = jnp.take_along_axis(c_cum0, lvl_c, axis=1)
+        idx = jnp.clip(start_k + (ks[None, :] - cum0_k), 0, E - 1)
+        slot_ok = ks[None, :] < c_tot[:, None]               # (C, K)
+
+        data = entry_data[idx]                               # (C, K, 8)
+        rows = entry_vals[idx]                               # (C, K)
+
+        # strict point-keyed filter: exactly the positive-weight set
+        dx = data[:, :, 0:3] - pg[:, None, :]
+        d2 = jnp.sum(dx * dx, axis=-1)
+        valid_c = slot_ok & (d2 * data[:, :, 3] < cut)
+
+        # canonical compaction: ascending stream order (no duplicates — a
+        # splat emits at most one entry into a single tile's chain)
+        key = jnp.where(valid_c, rows.astype(jnp.uint32),
+                        jnp.uint32(0xFFFFFFFF))
+        ops = jax.lax.sort(
+            (key,) + tuple(data[:, :, i] for i in range(8))
+            + (valid_c.astype(jnp.int32),), num_keys=1)
+        cols = jnp.stack(ops[1:9], axis=-1)                  # (C, K, 8)
+        sval = ops[9] == 1
+
+        # global 8-aligned cube frame (position-keyed, exact in f32)
+        base = (pts[pidx] // TILE) * TILE
+        co = (pts[pidx] - base).astype(jnp.float32)          # (C, 3)
+        x = cols[:, :, 0:3] - base.astype(jnp.float32)[:, None, :]
+        invr2 = cols[:, :, 3]
+        nrm = cols[:, :, 4:7]
+        qual = cols[:, :, 7]
+
+        x2 = jnp.sum(x * x, axis=-1)                         # (C, K)
+        ndotx = jnp.sum(nrm * x, axis=-1)
+        feats = jnp.concatenate([
+            jnp.ones_like(x2)[..., None], x, x2[..., None], nrm,
+            ndotx[..., None]], axis=-1)                      # (C, K, 9)
+
+        dotcx = jnp.einsum("td,tkd->tk", co, x,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+        ccs = jnp.sum(co * co, axis=-1)                      # (C,)
+        d = (x2 - 2.0 * dotcx + ccs[:, None]) * invr2
+        keep = (d < cut) & sval
+        w = 1.0 - d
+        w = w * w
+        w = w * w
+        w = jnp.where(keep, w * qual, 0.0)
+        hits = jnp.sum(keep, axis=-1)                        # (C,)
+
+        m = jnp.einsum("tk,tkm->tm", w, feats,
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)   # (C, 9)
+        sum_w = m[:, 0]
+        sx = m[:, 1:4]
+        sxx = m[:, 4]
+        sn = m[:, 5:8]
+        snx = m[:, 8]
+        sum_wp = sx - co * sum_w[:, None]
+        sum_wpp = (sxx - 2.0 * jnp.einsum(
+            "td,td->t", co, sx, precision=jax.lax.Precision.HIGHEST)
+            + ccs * sum_w)
+        sum_wpn = snx - jnp.einsum("td,td->t", co, sn,
+                                   precision=jax.lax.Precision.HIGHEST)
+
+        vals = fit(sum_w, sum_wp, sum_wpp, sn, sum_wpn, hits, bf)
+        return j + 1, out.at[pidx].set(vals)
+
+    _, out = jax.lax.while_loop(lambda c: c[0] < n_chunks, chunk_body,
+                                (0, out_init))
+
+    lp_s = jnp.where(valid_pt[:, None], lp, -1)
+    return field.at[lp_s[:, 2], lp_s[:, 1], lp_s[:, 0]].set(out, mode="drop")

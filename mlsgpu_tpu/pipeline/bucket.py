@@ -49,6 +49,11 @@ class Bucket:
     cell_hi: np.ndarray        # (3,) int64 exclusive
     blob_ids: np.ndarray       # (K,) int64 indices into BlobArray
     num_splats: int            # conservative count (intersecting splats)
+    # Decomposition edge-skeleton corner points on this bucket's boundary
+    # (global grid coords, (P, 3) int64); see skeleton_points. These are
+    # recomputed per-point on the device so every block containing such a
+    # point produces a bitwise-identical field value there.
+    skeleton: Optional[np.ndarray] = None
 
     @property
     def cells(self) -> np.ndarray:
@@ -301,6 +306,79 @@ def assign_blobs(blobs: BlobArray, micro_lo: np.ndarray,
     return out
 
 
+def skeleton_points(buckets: List[Bucket]) -> None:
+    """Attach to every bucket the decomposition edge-skeleton points on its
+    boundary (global corner coords).
+
+    The canonical face pass (ops/mls.canonical_face_field) makes face values
+    block-independent *per face axis*, but a grid point on the EDGE of some
+    region is written by more than one face pass — and at a T-junction
+    (adaptive splits with unequal extents) a neighbor sees that point in the
+    interior of a single face, so the two blocks can keep values from
+    different axes, whose f32 rounding differs. The fix is a third, per-point
+    device pass (ops/mls.skeleton_point_field) over exactly these points.
+
+    The skeleton is the union of all regions' box edges (12 segments each).
+    Any skeleton point p lying on a bucket's closed boundary is attached to
+    that bucket: every block containing p overwrites its field there with
+    the same position-keyed value. A foreign edge can only touch a bucket's
+    boundary, never its interior (regions have disjoint interiors), so
+    clipping each segment to the bucket's closed box is sufficient.
+
+    The reference needs no analogue: its per-corner octree walk accumulates
+    in a block-independent order by construction (kernels/mls.cl:299-433).
+    """
+    if not buckets:
+        return
+    # Segment soup: for each bucket, 12 edges. axis d varies; the other two
+    # axes (in (d+1)%3, (d+2)%3 order) are fixed at lo/hi corner planes.
+    seg_axis, seg_lo, seg_hi, seg_fb, seg_fc = [], [], [], [], []
+    for b in buckets:
+        lo, hi = b.cell_lo, b.cell_hi
+        for d in range(3):
+            e1, e2 = (d + 1) % 3, (d + 2) % 3
+            for vb in (lo[e1], hi[e1]):
+                for vc in (lo[e2], hi[e2]):
+                    seg_axis.append(d)
+                    seg_lo.append(lo[d])
+                    seg_hi.append(hi[d])
+                    seg_fb.append(vb)
+                    seg_fc.append(vc)
+    seg_axis = np.asarray(seg_axis, np.int64)
+    seg_lo = np.asarray(seg_lo, np.int64)
+    seg_hi = np.asarray(seg_hi, np.int64)
+    seg_fb = np.asarray(seg_fb, np.int64)
+    seg_fc = np.asarray(seg_fc, np.int64)
+    e1 = (seg_axis + 1) % 3
+    e2 = (seg_axis + 2) % 3
+
+    for b in buckets:
+        blo, bhi = b.cell_lo, b.cell_hi
+        in_fb = (seg_fb >= blo[e1]) & (seg_fb <= bhi[e1])
+        in_fc = (seg_fc >= blo[e2]) & (seg_fc <= bhi[e2])
+        clo = np.maximum(seg_lo, blo[seg_axis])
+        chi = np.minimum(seg_hi, bhi[seg_axis])
+        sel = np.nonzero(in_fb & in_fc & (clo <= chi))[0]
+        if not len(sel):
+            b.skeleton = np.empty((0, 3), np.int64)
+            continue
+        counts = (chi[sel] - clo[sel] + 1)
+        total = int(counts.sum())
+        rep = np.repeat(sel, counts)
+        # running coordinate along each segment's axis
+        base = np.repeat(clo[sel], counts)
+        off = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+        pts = np.empty((total, 3), np.int64)
+        idx = np.arange(total)
+        pts[idx, seg_axis[rep]] = base + off
+        pts[idx, e1[rep]] = seg_fb[rep]
+        pts[idx, e2[rep]] = seg_fc[rep]
+        key = (pts[:, 0] << 42) | (pts[:, 1] << 21) | pts[:, 2]
+        _, uniq = np.unique(key, return_index=True)
+        b.skeleton = pts[np.sort(uniq)]
+
+
 def make_buckets(info: BlobInfo, block_cells: int, micro_cells: int,
                  max_splats: int,
                  chunk_cells: Optional[int] = None,
@@ -367,6 +445,8 @@ def make_buckets(info: BlobInfo, block_cells: int, micro_cells: int,
             cell_lo=cell_lo_cl, cell_hi=cell_hi,
             blob_ids=bids, num_splats=n))
 
+    with stats.timer("bucket.skeletonTime"):
+        skeleton_points(buckets)
     stats.counter("bucket.count").add(len(buckets))
     log.info(f"bucketing: {len(buckets)} buckets "
              f"(max splats/bucket: {max((b.num_splats for b in buckets), default=0)})")

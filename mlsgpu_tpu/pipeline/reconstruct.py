@@ -154,10 +154,13 @@ def run_block(splats_padded: np.ndarray, valid: np.ndarray,
     overflow."""
     stats = get_registry()
     region = (bucket.cell_hi - bucket.cell_lo).astype(np.int32)
+    skel = getattr(bucket, "skeleton", None)
     args = dict(
         splats=splats_padded, valid=valid,
         region_cells=jax.numpy.asarray(region),
         cell_origin=jax.numpy.asarray(bucket.cell_lo.astype(np.int32)),
+        points=(None if skel is None or not len(skel)
+                else jax.numpy.asarray(skel.astype(np.int32))),
     )
     if device is not None:
         args = {k: jax.device_put(v, device) for k, v in args.items()}

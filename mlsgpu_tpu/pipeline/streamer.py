@@ -44,7 +44,7 @@ def _pick_devices(num: int) -> List:
 
 
 def _dispatch(padded, valid, bucket, cfg, caps, device,
-              device_filter=None) -> BlockResult:
+              device_filter=None, points=None) -> BlockResult:
     from mlsgpu_tpu.ops.block import block_step_staged, resolve_mls_backend
     args = dict(
         splats=jax.device_put(padded, device),
@@ -53,6 +53,8 @@ def _dispatch(padded, valid, bucket, cfg, caps, device,
             np.asarray(bucket.cell_hi - bucket.cell_lo, np.int32), device),
         cell_origin=jax.device_put(
             np.asarray(bucket.cell_lo, np.int32), device),
+        points=(None if points is None
+                else jax.device_put(points, device)),
     )
     step = (block_step_staged if getattr(cfg, "statistics_device", False)
             else block_step)
@@ -185,6 +187,19 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
     # readback images.
     maxn = max((b.num_splats for b in buckets), default=1)
     pad_to = eighth_pow2_ceil(maxn)
+    # Skeleton points share one run-wide pad too (a distinct pad is a
+    # distinct block_step compile).
+    max_pts = max((0 if b.skeleton is None else len(b.skeleton)
+                   for b in buckets), default=0)
+    pts_pad = eighth_pow2_ceil(max_pts) if max_pts else 0
+
+    def padded_points(b):
+        if pts_pad == 0:
+            return None
+        pts = np.full((pts_pad, 3), -1, np.int32)
+        if b.skeleton is not None and len(b.skeleton):
+            pts[:len(b.skeleton)] = b.skeleton.astype(np.int32)
+        return pts
     block_bytes = pad_to * (8 * 4 + 1)  # padded f32 splats + valid bool
     q_budget = max(1, int(getattr(cfg, "mem_load_splats", 1 << 62))
                    // block_bytes)
@@ -248,7 +263,7 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
                     splats = source.read_ranges(ranges)
                     padded, valid = prepare_block_inputs(splats, b, grid,
                                                          pad_to=pad_to)
-                if not _put((b, padded, valid)):
+                if not _put((b, padded, valid, padded_points(b))):
                     return
                 pk_load.add(block_bytes)
         except BaseException as e:  # propagate to consumer
@@ -260,12 +275,21 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
     thread.start()
 
     inflight: deque = deque()
-    dev_idx = 0
+    # Spare-capacity scheduling (the reference's CopyGroup picks the device
+    # with the most free queue slots, src/workers.cpp:315-351): dispatch to
+    # the device with the fewest dispatched-but-unforced blocks, ties by
+    # least-recently-dispatched. Under FIFO forcing a ties-by-index rule
+    # parks the warm-up tie on device 0 forever; LRU ties degrade to exact
+    # round-robin on uniform blocks and still win when block costs vary.
+    in_use = [0] * len(devices)
+    last_used = [0] * len(devices)
+    dispatch_seq = 0
     compute_worker = timeplot.Worker("device")
 
     def force(entry):
         from mlsgpu_tpu.ops.block import pack_format
-        b, padded, valid, result, device, built = entry
+        b, padded, valid, pts, result, device, di, built = entry
+        in_use[di] -= 1
         with timeplot.Action("compute", compute_worker,
                              stats.variable("device.time")):
             while _check_overflow(result, built, caps):
@@ -275,7 +299,7 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
                          f"verts={caps.vertex_cap}, inds={caps.index_cap})")
                 built = copy.copy(caps)
                 result = _dispatch(padded, valid, b, cfg, caps, device,
-                                   device_filter)
+                                   device_filter, points=pts)
         # The pack layout is the one the ACCEPTED result's program used —
         # built.vertex_cap, not the live caps (which may have grown past an
         # index-width threshold while this block was in flight).
@@ -292,16 +316,20 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
                 if error:
                     raise error[0]
                 break
-            b, padded, valid = item
+            b, padded, valid, pts = item
             pk_load.add(-block_bytes)
             pk_host.add(block_bytes)
-            device = devices[dev_idx % len(devices)]
-            dev_idx += 1
+            di = min(range(len(devices)),
+                     key=lambda i: (in_use[i], last_used[i]))
+            device = devices[di]
+            in_use[di] += 1
+            dispatch_seq += 1
+            last_used[di] = dispatch_seq
             with stats.timer("streamer.dispatch"):
                 built = copy.copy(caps)
                 result = _dispatch(padded, valid, b, cfg, caps, device,
-                                   device_filter)
-            inflight.append((b, padded, valid, result, device, built))
+                                   device_filter, points=pts)
+            inflight.append((b, padded, valid, pts, result, device, di, built))
             pk_mesh.set(len(inflight) * mesh_bytes)
             if len(inflight) > window:
                 out = force(inflight.popleft())

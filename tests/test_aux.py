@@ -337,3 +337,27 @@ def test_mesh_filter_chain():
     sb = ScaleBiasFilter.from_grid(FakeGrid())
     v3, _ = sb(np.zeros((1, 3), np.float32), tris)
     np.testing.assert_allclose(v3[0], [2.0, 1.0, 1.0])
+
+
+def test_bench_outage_still_reports():
+    """bench.py must emit its single JSON line even when the device backend
+    never comes up (VERDICT r2: round 2's number was erased by a tunnel
+    outage): the bounded probe gives up within budget and a best-effort
+    zero-value result with a note is printed with rc=0."""
+    import json
+    import subprocess
+    import sys
+
+    env = dict(os.environ, BENCH_FORCE_PROBE_FAIL="1")
+    env.pop("MLSGPU_TPU_FORCE_CPU", None)
+    proc = subprocess.run(
+        [sys.executable, "bench.py"], cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr
+    lines = [l for l in proc.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, proc.stdout
+    result = json.loads(lines[0])
+    assert result["unit"] == "Msplats/s"
+    assert result["value"] == 0.0
+    assert "unavailable" in result.get("note", "")

@@ -27,7 +27,7 @@ B = 1 << (LEVELS + SUB - 1)   # 32 corners per axis
 pytestmark = pytest.mark.slow
 
 
-def eval_block(splats, origin, region, max_candidates=2048):
+def eval_block(splats, origin, region, max_candidates=2048, points=None):
     n = len(splats)
     pos = splats[:, 0:3]
     r = splats[:, 3]
@@ -47,6 +47,11 @@ def eval_block(splats, origin, region, max_candidates=2048):
         field, binned.entry_data, binned.entry_vals, starts, lens,
         origin_j, region_j, tpa, max_candidates, "sphere", 0.0)
     assert int(fmax) <= max_candidates
+    if points is not None and len(points):
+        field = mls.skeleton_point_field(
+            field, binned.entry_data, binned.entry_vals, starts, lens,
+            origin_j, jnp.asarray(np.asarray(points, np.int32)), tpa,
+            max_candidates, "sphere", 0.0)
     return np.asarray(field)
 
 
@@ -92,3 +97,58 @@ def test_face_pass_preserves_interior_consistency():
     assert finite.mean() > 0.9
     np.testing.assert_allclose(got[finite], expect[finite],
                                rtol=2e-4, atol=2e-4)
+
+
+def _mk_bucket(lo, hi):
+    from mlsgpu_tpu.core.chunk import ChunkId
+    from mlsgpu_tpu.pipeline.bucket import Bucket
+    return Bucket(chunk_id=ChunkId(gen=0, coords=(0, 0, 0)),
+                  cell_lo=np.array(lo, np.int64),
+                  cell_hi=np.array(hi, np.int64),
+                  blob_ids=np.empty(0, np.int64), num_splats=1)
+
+
+def test_t_junction_edge_bitwise_equal():
+    """Unequal-extent adjacent blocks (a T-junction from adaptive splits):
+    the junction line is an edge of blocks A and C but interior to block
+    B's face, so the per-axis face pass alone can keep different axes'
+    values on the two sides. The skeleton point pass must make every
+    shared corner — including the junction line — bitwise equal across
+    all three blocks."""
+    from mlsgpu_tpu.pipeline.bucket import skeleton_points
+    rng = np.random.default_rng(3)
+    # shell crossing the x=16 / y=16 planes and the junction line
+    splats = oracle.sphere_cloud([12.0, 12.0, 16.0], 7.0, 9000, 1.2, rng)
+    splats = splats.astype(np.float32)
+
+    A = _mk_bucket((0, 0, 0), (16, 16, 31))
+    C = _mk_bucket((16, 0, 0), (31, 16, 31))
+    Bk = _mk_bucket((0, 16, 0), (31, 31, 31))
+    skeleton_points([A, C, Bk])
+    # the foreign T edge must be in Bk's point list
+    sb = Bk.skeleton
+    assert ((sb[:, 0] == 16) & (sb[:, 1] == 16)).sum() == 32
+
+    fa = eval_block(splats, A.cell_lo, A.cell_hi - A.cell_lo,
+                    points=A.skeleton)
+    fc = eval_block(splats, C.cell_lo, C.cell_hi - C.cell_lo,
+                    points=C.skeleton)
+    fb = eval_block(splats, Bk.cell_lo, Bk.cell_hi - Bk.cell_lo,
+                    points=Bk.skeleton)
+
+    def cmp(pa, pb, min_defined):
+        na, nb = np.isnan(pa), np.isnan(pb)
+        np.testing.assert_array_equal(na, nb)
+        ok = ~na
+        assert ok.sum() >= min_defined
+        np.testing.assert_array_equal(
+            pa[ok].view(np.uint32), pb[ok].view(np.uint32))
+
+    # shared y=16 plane: A vs Bk over x 0..16, C vs Bk over x 16..31
+    cmp(fa[:, 16, 0:17], fb[:, 0, 0:17], 20)
+    cmp(fc[:, 16, 0:16], fb[:, 0, 16:32], 20)
+    # shared x=16 plane: A vs C over y 0..16
+    cmp(fa[:, 0:17, 16], fc[:, 0:17, 0], 20)
+    # the junction line itself must carry defined values somewhere
+    line = fa[:, 16, 16]
+    assert np.isfinite(line).sum() >= 2

@@ -564,3 +564,55 @@ class TestOverflowCheck:
         assert live.vertex_cap == 8192
         # and a result that fit its own caps passes
         assert _check_overflow(res(2000), built, live) is False
+
+
+def test_spare_capacity_device_scheduling(monkeypatch):
+    """Multi-device dispatch picks the device with the fewest in-flight
+    blocks (the reference's CopyGroup picks the device with the most free
+    queue slots, src/workers.cpp:315-351): on the 8-virtual-device CPU mesh
+    every device is used, per-device load is balanced, and the yielded
+    results are complete and correct."""
+    import jax
+    from mlsgpu_tpu.config import ReconstructConfig
+    from mlsgpu_tpu.pipeline import streamer as streamer_mod
+    from mlsgpu_tpu.pipeline.reconstruct import load_cached_caps
+
+    devices = jax.local_devices()
+    if len(devices) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    devices = devices[:4]
+
+    splats = make_cloud(n=8000, seed=7)
+    cfg = ReconstructConfig(fit_grid=0.1, fit_smooth=1.0, levels=4,
+                            subsampling=3, leaf_cells=8,
+                            max_device_splats=3000, tile_candidates=512,
+                            progress=False)
+    source = SequenceSource(splats)
+    info = blobs_mod.compute_blobs(source, cfg.fit_grid, cfg.micro_cells)
+    buckets = bucket_mod.make_buckets(info, cfg.block_cells, cfg.micro_cells,
+                                      max_splats=cfg.max_device_splats)
+    assert len(buckets) >= 8, "test needs several buckets"
+
+    used = []
+    real_dispatch = streamer_mod._dispatch
+
+    def spy(padded, valid, bucket, cfg, caps, device, *a, **kw):
+        used.append(device)
+        return real_dispatch(padded, valid, bucket, cfg, caps, device,
+                             *a, **kw)
+
+    monkeypatch.setattr(streamer_mod, "_dispatch", spy)
+    caps = load_cached_caps(cfg)
+    got = list(streamer_mod.stream_blocks(source, info, buckets, cfg, caps,
+                                          devices=devices))
+    assert len(got) == len(buckets)
+    assert {b.chunk_id for b, _ in got} == {b.chunk_id for b in buckets}
+    counts = {d: 0 for d in devices}
+    for d in used:
+        counts[d] += 1
+    assert all(c > 0 for c in counts.values()), counts
+    # fewest-in-flight with FIFO forcing keeps loads within one block
+    # (dispatch count may exceed len(buckets) on cap retries; the balance
+    # property still holds because retries re-use the same device)
+    assert max(counts.values()) - min(counts.values()) <= 1 + (
+        len(used) - len(buckets)), counts
