@@ -32,6 +32,9 @@ class BlockResult(NamedTuple):
     num_cells: jnp.ndarray            # () int32 occupied cells
     num_unwelded: jnp.ndarray         # () int32 pre-weld vertices
     num_occ_tiles: jnp.ndarray = None  # () int32 (pallas tile compaction)
+    # () int32 candidate marching tiles (tile-compacted classification,
+    # ops/marching.py); None/0 when the dense path ran.
+    num_march_tiles: jnp.ndarray = None
     # Optional single-transfer quantized readback image (pack_output=True):
     # flat u32 [index region | vertex region] per PackFormat — one d2h
     # transfer replaces four, indices ride 16/21 bits, vertices ride
@@ -267,6 +270,7 @@ def block_step_body(splats: jnp.ndarray,
                     mls_backend: str = "xla",
                     pack_output: bool = False,
                     occ_tile_cap: int = 0,
+                    march_tile_cap: int = 0,
                     device_filter=None,
                     canonical_faces: bool = True) -> BlockResult:
     """Reconstruct one block (un-jitted body; see block_step).
@@ -324,7 +328,8 @@ def block_step_body(splats: jnp.ndarray,
                 fit_shape, boundary_factor)
 
     mesh = marching.generate(field, region_cells, cell_origin,
-                             cell_cap, vertex_cap, index_cap)
+                             cell_cap, vertex_cap, index_cap,
+                             tile_cap=march_tile_cap)
     welded = weld.weld(mesh.vertices, mesh.key_hi, mesh.key_lo,
                        mesh.triangles, mesh.num_vertices, mesh.num_indices)
 
@@ -357,6 +362,7 @@ def block_step_body(splats: jnp.ndarray,
         num_cells=mesh.num_cells,
         num_unwelded=mesh.num_vertices,
         num_occ_tiles=n_occ,
+        num_march_tiles=mesh.num_tiles,
         packed=packed,
     )
 
@@ -366,7 +372,8 @@ block_step = functools.partial(
     static_argnames=("boundary_factor", "levels", "subsampling",
                      "max_candidates", "cell_cap", "vertex_cap", "index_cap",
                      "fit_shape", "tile_chunk", "mls_backend", "pack_output",
-                     "occ_tile_cap", "device_filter", "canonical_faces"),
+                     "occ_tile_cap", "march_tile_cap", "device_filter",
+                     "canonical_faces"),
 )(block_step_body)
 block_step.__doc__ = "Jitted block_step_body (one compile per static config)."
 
@@ -375,7 +382,8 @@ def block_step_staged(splats, valid, region_cells, cell_origin,
                       boundary_factor, points=None, *, levels, subsampling,
                       max_candidates, cell_cap, vertex_cap, index_cap,
                       fit_shape="sphere", tile_chunk=32, mls_backend="xla",
-                      pack_output=False, occ_tile_cap=0, device_filter=None,
+                      pack_output=False, occ_tile_cap=0, march_tile_cap=0,
+                      device_filter=None,
                       canonical_faces=True, registry=None) -> BlockResult:
     """`block_step` split into separately-jitted, individually-timed stages.
 
@@ -437,7 +445,7 @@ def block_step_staged(splats, valid, region_cells, cell_origin,
                 tiles_per_axis, max_candidates, fit_shape,
                 jnp.float32(boundary_factor))
     mesh = timed("marching", _jit_marching, field, region_cells, cell_origin,
-                 cell_cap, vertex_cap, index_cap)
+                 cell_cap, vertex_cap, index_cap, march_tile_cap)
     welded = timed("weld", _jit_weld, mesh.vertices, mesh.key_hi, mesh.key_lo,
                    mesh.triangles, mesh.num_vertices, mesh.num_indices)
     packed = None
@@ -454,7 +462,8 @@ def block_step_staged(splats, valid, region_cells, cell_origin,
         triangles=welded.triangles, num_vertices=welded.num_vertices,
         first_external=welded.first_external, num_indices=welded.num_indices,
         max_tile_candidates=max_total, num_cells=mesh.num_cells,
-        num_unwelded=mesh.num_vertices, num_occ_tiles=n_occ, packed=packed)
+        num_unwelded=mesh.num_vertices, num_occ_tiles=n_occ,
+        num_march_tiles=mesh.num_tiles, packed=packed)
 
 
 _jit_tile_segments = functools.partial(
@@ -473,7 +482,7 @@ _jit_skeleton_field = functools.partial(
         lambda f, e, v, s, l, o, p, tpa, K, shape, bf:
         mls.skeleton_point_field(f, e, v, s, l, o, p, tpa, K, shape, bf))
 _jit_marching = functools.partial(
-    jax.jit, static_argnums=(3, 4, 5))(marching.generate)
+    jax.jit, static_argnums=(3, 4, 5, 6))(marching.generate)
 _jit_weld = jax.jit(weld.weld)
 _jit_pack = functools.partial(
     jax.jit, static_argnums=(2, 3, 4))(_pack_readback)

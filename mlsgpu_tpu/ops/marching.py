@@ -11,6 +11,19 @@ scatter-based formulation. Dynamic totals are returned so the host can
 detect cap overflow and retry larger — the static-shape analogue of the
 reference's ship-out-when-full (src/marching.h:77-80).
 
+With `tile_cap > 0` the classification itself is tile-compacted (the
+analogue of the reference's genOccupied compaction, kernels/marching.cl:84,
+src/marching.cpp:500-553): one cheap dense reduction finds 8^3-cell tiles
+containing any finite corner (an MLS field is finite only near the
+surface), the candidate tiles are compacted to `tile_cap` slots, and the
+per-cell classification, count tables and occupied-cell sort all run over
+`tile_cap * 512` cells instead of the full volume. The compaction order
+(ascending tile id, raster within tile) matches the dense path's, so
+outputs are BITWISE IDENTICAL whenever the candidate tiles fit; when they
+do not, `num_tiles` exceeds the cap and the host retries larger (counts may
+undercount in that case, which is safe because the tile overflow itself
+already forces the retry).
+
 Vertex keys use the reference's scheme (kernels/marching.cl:144-163):
 21-bit-per-axis fixed point of the doubled global edge-midpoint coordinates,
 packed here into two uint32 lanes (hi: ext|z|y_hi, lo: y_lo|x) because TPUs
@@ -31,6 +44,8 @@ from mlsgpu_tpu.ops import tables
 
 PAD_KEY = jnp.uint32(0xFFFFFFFF)
 
+TILE = 8  # cells per axis of a classification tile
+
 # (8, 3) corner offsets; corner id bit a = offset along axis a.
 _CORNER_OFFS = np.array([[(v >> a) & 1 for a in range(3)] for v in range(8)],
                         dtype=np.int32)
@@ -45,6 +60,10 @@ class BlockMesh(NamedTuple):
     num_cells: jnp.ndarray  # () int32 — occupied cells (may exceed cell_cap!)
     num_vertices: jnp.ndarray  # () int32
     num_indices: jnp.ndarray   # () int32
+    # () int32 — candidate classification tiles (tile-compacted path; may
+    # exceed the tile_cap the program was built with -> host retries). 0 on
+    # the dense path.
+    num_tiles: jnp.ndarray = None
 
 
 def _slot_to_producer(starts: jnp.ndarray, valid: jnp.ndarray,
@@ -64,35 +83,29 @@ def _slot_to_producer(starts: jnp.ndarray, valid: jnp.ndarray,
     return jax.lax.cummax(seeded)
 
 
-def generate(field: jnp.ndarray,
-             region_cells: jnp.ndarray,
-             cell_origin: jnp.ndarray,
-             cell_cap: int,
-             vertex_cap: int,
-             index_cap: int) -> BlockMesh:
-    """Run marching tetrahedra on a (B, B, B) corner field (indexed [z,y,x]).
+def _cell_tables(sgn):
+    """Per-cell true vertex/triangle-count fields from the 8 corner sign
+    fields (arithmetic, not a table gather — a dense 256-row table gather
+    cost 104ms/block; this fuses into the classification): vertices =
+    bipolar edges of the 19-edge set; triangles per tet with p outside
+    corners = min(p, 4-p) (see tables._build)."""
+    nv3 = jnp.zeros_like(sgn[0])
+    for (ea, eb) in tables.EDGES:
+        nv3 = nv3 + (sgn[ea] ^ sgn[eb])
+    nt3 = jnp.zeros_like(sgn[0])
+    for t in tables.TETS:
+        p = sgn[t[0]] + sgn[t[1]] + sgn[t[2]] + sgn[t[3]]
+        nt3 = nt3 + jnp.minimum(p, 4 - p)
+    return nv3, nt3
 
-    Args:
-      field: signed distances, NaN = undefined.
-      region_cells: (3,) int32 (x, y, z) — cells actually inside the bucket
-        region (<= B-1 per axis); cells beyond are masked off.
-      cell_origin: (3,) int32 (x, y, z) global cell coords of local cell 0.
-      *_cap: static capacities.
-    """
-    assert index_cap % 3 == 0
-    # Producer bases ride f32 lanes of occ_row (exact only to 2^24); caps
-    # are static, so guard here rather than corrupt triangles silently.
-    if vertex_cap >= 1 << 24 or index_cap // 3 >= 1 << 24:
-        raise ValueError(
-            f"vertex_cap {vertex_cap} / index_cap//3 {index_cap // 3} exceed "
-            "2^24-1 (f32-exact packing bound); split the region instead "
-            "(lower --levels or the cell budget)")
+
+def _classify_dense(field, region_cells, cell_cap):
+    """Dense classification: every cell of the (B-1)^3 volume."""
     b = field.shape[0]
     nc = b - 1
     ncells = nc ** 3
     flat_field = field.reshape(-1)
 
-    # --- dense classification ------------------------------------------------
     sgn = []
     code = jnp.zeros((nc, nc, nc), dtype=jnp.int32)
     finite = jnp.ones((nc, nc, nc), dtype=bool)
@@ -116,31 +129,19 @@ def generate(field: jnp.ndarray,
     # cell_cap compacted ones): the host's overflow check must see the real
     # requirement even when cell_cap itself overflows, or cap growth would
     # converge by repeated clamped retries — and an undetected vertex/index
-    # overflow would ship a corrupt block. Computed *arithmetically* from the
-    # corner signs (a dense 256-row table gather here cost 104ms/block —
-    # gathers over the full volume serialize on TPU; this fuses into the
-    # classification): per cell, vertices = bipolar edges of the 19-edge
-    # set, and triangles per tet with p outside corners = min(p, 4-p)
-    # (1/2/1 for p=1/2/3; see tables._build — each cut tet emits exactly its
-    # bipolar edges as vertices and that many triangles).
-    nv3 = jnp.zeros((nc, nc, nc), dtype=jnp.int32)
-    for (ea, eb) in tables.EDGES:
-        nv3 = nv3 + (sgn[ea] ^ sgn[eb])
-    nt3 = jnp.zeros((nc, nc, nc), dtype=jnp.int32)
-    for t in tables.TETS:
-        p = sgn[t[0]] + sgn[t[1]] + sgn[t[2]] + sgn[t[3]]
-        nt3 = nt3 + jnp.minimum(p, 4 - p)
+    # overflow would ship a corrupt block.
+    nv3, nt3 = _cell_tables(sgn)
     true_nv = jnp.sum(jnp.where(occ_mask, nv3, 0))
     true_ni = 3 * jnp.sum(jnp.where(occ_mask, nt3, 0))
 
-    # --- compact occupied cells: two-level tile compaction --------------------
+    # --- compact occupied cells: two-level tile compaction -------------------
     # A global occupancy sort over the dense volume cost 68ms/block; instead
     # sort 8^3-cell tiles independently (one small batched sort), map each
     # output slot to its tile via the tile-count prefix sum, and take the
     # slot's rank within the tile (41ms measured). Compaction order becomes
     # tile-major rather than raster — downstream only needs *some* fixed
     # order (weld canonicalizes by key).
-    tile = 8
+    tile = TILE
     g = -(-nc // tile)
     occp = jnp.pad(occupied3, ((0, g * tile - nc),) * 3)
     otiles = (occp.reshape(g, tile, g, tile, g, tile)
@@ -168,9 +169,157 @@ def generate(field: jnp.ndarray,
     czd = t_z * tile + l_z
     occ_cell_c = jnp.minimum(czd * (nc * nc) + cyd * nc + cxd, ncells - 1)
 
-    code = code.reshape(-1)
+    occ_code = code.reshape(-1)[occ_cell_c]
+
+    offs = jnp.asarray(_CORNER_OFFS)
+    base = czd * (b * b) + cyd * b + cxd
+    corner_flat = (jnp.minimum(base, b ** 3 - 1)[:, None]
+                   + offs[None, :, 2] * (b * b) + offs[None, :, 1] * b
+                   + offs[None, :, 0])                    # (cell_cap, 8)
+    occ_iso = flat_field[jnp.minimum(corner_flat, b ** 3 - 1)]
+
+    return (occ_iso, occ_code, cxd, cyd, czd, occ_valid, num_cells,
+            true_nv, true_ni, jnp.int32(0))
+
+
+def _classify_tiled(field, region_cells, cell_cap, tile_cap):
+    """Tile-compacted classification: one dense finite-reduction finds
+    candidate 8^3-cell tiles; everything else runs over tile_cap slots.
+
+    A cell can be occupied only if all 8 corners are finite — in particular
+    its base corner, which lies in its own tile's 8^3 corner region — so
+    "tile has any finite corner in its own region" is a superset of tiles
+    with occupied cells. Candidate slots hold ascending tile ids; cells
+    within a tile stay raster-ordered, so the occupied-cell compaction
+    order (and every downstream output) is bitwise identical to the dense
+    path's whenever the candidates fit."""
+    b = field.shape[0]
+    nc = b - 1
+    tile = TILE
+    g = -(-nc // tile)
+    gb = g * tile + 1
+    tcap = min(int(tile_cap), g ** 3)
+    # NaN pad: pad cells classify as undefined (and sit outside the region
+    # mask anyway).
+    fpad = jnp.pad(field, ((0, gb - b),) * 3, constant_values=jnp.nan)
+
+    fin8 = jnp.isfinite(fpad[:g * tile, :g * tile, :g * tile])
+    cand = (fin8.reshape(g, tile, g, tile, g, tile)
+            .transpose(0, 2, 4, 1, 3, 5).reshape(g ** 3, tile ** 3)
+            .any(axis=1))
+    num_tiles = jnp.sum(cand.astype(jnp.int32))
+    order = jnp.argsort(~cand, stable=True).astype(jnp.int32)
+    tids = order[:tcap]                                  # (tcap,)
+    slot_ok = jnp.arange(tcap, dtype=jnp.int32) < num_tiles
+
+    t_x = tids % g
+    t_y = (tids // g) % g
+    t_z = tids // (g * g)
+
+    # Gather each slot's 9^3 corner subvolume (the +1 halo row belongs to
+    # the next tile; gb-1 == g*tile so indices stay in range).
+    r9 = jnp.arange(tile + 1, dtype=jnp.int32)
+    zi = t_z[:, None] * tile + r9[None, :]
+    yi = t_y[:, None] * tile + r9[None, :]
+    xi = t_x[:, None] * tile + r9[None, :]
+    tf = fpad[zi[:, :, None, None], yi[:, None, :, None],
+              xi[:, None, None, :]]                      # (tcap, 9, 9, 9)
+
+    sgn = []
+    code = jnp.zeros((tcap, tile, tile, tile), dtype=jnp.int32)
+    finite = jnp.ones((tcap, tile, tile, tile), dtype=bool)
+    for v, (dx, dy, dz) in enumerate(_CORNER_OFFS):
+        cv = tf[:, dz:dz + tile, dy:dy + tile, dx:dx + tile]
+        s = jnp.where(cv >= 0.0, 1, 0)
+        sgn.append(s)
+        code = code | (s << v)
+        finite = finite & jnp.isfinite(cv)
+
+    lr = jnp.arange(tile, dtype=jnp.int32)
+    cx = t_x[:, None, None, None] * tile + lr[None, None, None, :]
+    cy = t_y[:, None, None, None] * tile + lr[None, None, :, None]
+    cz = t_z[:, None, None, None] * tile + lr[None, :, None, None]
+    in_region = ((cx < region_cells[0]) & (cy < region_cells[1])
+                 & (cz < region_cells[2]))
+    occ_mask = finite & in_region & slot_ok[:, None, None, None]
+    occupied = occ_mask & (code != 0) & (code != 255)
+
+    num_cells = jnp.sum(occupied.astype(jnp.int32))
+    nv3, nt3 = _cell_tables(sgn)
+    true_nv = jnp.sum(jnp.where(occ_mask, nv3, 0))
+    true_ni = 3 * jnp.sum(jnp.where(occ_mask, nt3, 0))
+
+    otiles = occupied.reshape(tcap, tile ** 3)
+    tcnt = otiles.sum(axis=1, dtype=jnp.int32)
+    tstart = jnp.cumsum(tcnt) - tcnt
+    loc = jnp.where(otiles, jnp.arange(tile ** 3, dtype=jnp.int32)[None, :],
+                    tile ** 3)
+    loc_s = jax.lax.sort(loc, dimension=1)               # (tcap, tile^3)
+
+    slots = jnp.arange(cell_cap, dtype=jnp.int32)
+    tprod = _slot_to_producer(tstart, tcnt > 0, cell_cap)
+    rank = jnp.clip(slots - tstart[tprod], 0, tile ** 3 - 1)
+    l_id = jnp.minimum(loc_s[tprod, rank], tile ** 3 - 1)
+
+    occ_valid = slots < jnp.minimum(num_cells, cell_cap)
+    l_x = l_id % tile
+    l_y = (l_id // tile) % tile
+    l_z = l_id // (tile * tile)
+    cxd = t_x[tprod] * tile + l_x
+    cyd = t_y[tprod] * tile + l_y
+    czd = t_z[tprod] * tile + l_z
+
+    occ_code = code.reshape(-1)[tprod * tile ** 3 + l_id]
+
+    offs = jnp.asarray(_CORNER_OFFS)
+    s9 = tile + 1
+    base = tprod * s9 ** 3 + l_z * s9 ** 2 + l_y * s9 + l_x
+    corner_flat = (base[:, None] + offs[None, :, 2] * s9 ** 2
+                   + offs[None, :, 1] * s9 + offs[None, :, 0])
+    occ_iso = tf.reshape(-1)[corner_flat]                # (cell_cap, 8)
+
+    return (occ_iso, occ_code, cxd, cyd, czd, occ_valid, num_cells,
+            true_nv, true_ni, num_tiles)
+
+
+def generate(field: jnp.ndarray,
+             region_cells: jnp.ndarray,
+             cell_origin: jnp.ndarray,
+             cell_cap: int,
+             vertex_cap: int,
+             index_cap: int,
+             tile_cap: int = 0) -> BlockMesh:
+    """Run marching tetrahedra on a (B, B, B) corner field (indexed [z,y,x]).
+
+    Args:
+      field: signed distances, NaN = undefined.
+      region_cells: (3,) int32 (x, y, z) — cells actually inside the bucket
+        region (<= B-1 per axis); cells beyond are masked off.
+      cell_origin: (3,) int32 (x, y, z) global cell coords of local cell 0.
+      *_cap: static capacities.
+      tile_cap: > 0 compacts classification to that many candidate 8^3
+        tiles (bitwise-identical to the dense path when they fit; overflow
+        reported via num_tiles). 0 = dense classification.
+    """
+    assert index_cap % 3 == 0
+    # Producer bases ride f32 lanes of occ_row (exact only to 2^24); caps
+    # are static, so guard here rather than corrupt triangles silently.
+    if vertex_cap >= 1 << 24 or index_cap // 3 >= 1 << 24:
+        raise ValueError(
+            f"vertex_cap {vertex_cap} / index_cap//3 {index_cap // 3} exceed "
+            "2^24-1 (f32-exact packing bound); split the region instead "
+            "(lower --levels or the cell budget)")
+
+    if tile_cap:
+        (occ_iso, occ_code, ocx, ocy, ocz, occ_valid, num_cells,
+         true_nv, true_ni, num_tiles) = _classify_tiled(
+            field, region_cells, cell_cap, tile_cap)
+    else:
+        (occ_iso, occ_code, ocx, ocy, ocz, occ_valid, num_cells,
+         true_nv, true_ni, num_tiles) = _classify_dense(
+            field, region_cells, cell_cap)
+
     count_tab = jnp.asarray(tables.COUNT_TABLE)           # (256, 2)
-    occ_code = code[occ_cell_c]
     nv_c = jnp.where(occ_valid, count_tab[occ_code, 0], 0)
     ni_c = jnp.where(occ_valid, count_tab[occ_code, 1], 0)
     v_end = jnp.cumsum(nv_c)
@@ -184,29 +333,11 @@ def generate(field: jnp.ndarray,
 
     offs = jnp.asarray(_CORNER_OFFS)
 
-    def cell_coords(flat):
-        cz = flat // (nc * nc)
-        cy = (flat // nc) % nc
-        cx = flat % nc
-        return cx, cy, cz
-
-    def cell_iso(flat):
-        cx, cy, cz = cell_coords(flat)
-        base = cz * (b * b) + cy * b + cx
-        corner_flat = (base[:, None]
-                       + offs[None, :, 2] * (b * b) + offs[None, :, 1] * b
-                       + offs[None, :, 0])                # (n, 8)
-        return flat_field[corner_flat]
-
-    # Gather the 8 corner isovalues and coordinates once per *occupied cell*
-    # (cell_cap rows), then PACK everything a downstream slot needs into one
-    # 16-wide f32 row: the per-slot stages then do a single contiguous
-    # row-gather instead of ~7 independent random gathers (gathers are the
-    # dominant marching cost on TPU). All packed ints (code<=255,
-    # coords<=2^13, starts<=2^24) are exact in f32.
-    occ_iso = cell_iso(occ_cell_c)                       # (cell_cap, 8)
-    ocx, ocy, ocz = cell_coords(occ_cell_c)
-
+    # Pack everything a downstream slot needs into one 16-wide f32 row: the
+    # per-slot stages then do a single contiguous row-gather instead of ~7
+    # independent random gathers (gathers are the dominant marching cost on
+    # TPU). All packed ints (code<=255, coords<=2^13, starts<=2^24) are
+    # exact in f32.
     occ_row = jnp.concatenate([
         occ_iso,                                          # 0:8  corner isos
         occ_code[:, None].astype(jnp.float32),            # 8    case code
@@ -285,4 +416,5 @@ def generate(field: jnp.ndarray,
         num_cells=num_cells.astype(jnp.int32),
         num_vertices=num_vertices.astype(jnp.int32),
         num_indices=num_indices.astype(jnp.int32),
+        num_tiles=num_tiles.astype(jnp.int32),
     )

@@ -46,6 +46,9 @@ class BlockCaps:
     # (ops/mls_pallas.py); 0 = no compaction. Grown on overflow like the
     # rest.
     occ_tile_cap: int = 0
+    # candidate-tile cap for the tile-compacted marching classification
+    # (ops/marching.py); 0 = dense. Grown on overflow like the rest.
+    march_tile_cap: int = 0
 
 
 def default_occ_tile_cap(cfg) -> int:
@@ -54,6 +57,17 @@ def default_occ_tile_cap(cfg) -> int:
     wasting grid steps)."""
     tpa = (cfg.block_cells + 1) // 8
     num_tiles = tpa ** 3
+    return max(min(num_tiles, 512), num_tiles // 8)
+
+
+def default_march_tile_cap(cfg) -> int:
+    """Initial marching candidate-tile cap. Candidacy is any-finite-corner
+    (a superset of MLS-occupied: the face/skeleton passes widen the finite
+    set slightly), so give it the same 1/8-of-grid start as the MLS cap;
+    generate() clamps to the true tile count, so small test blocks never
+    overshoot."""
+    g = -(-cfg.block_cells // 8)
+    num_tiles = g ** 3
     return max(min(num_tiles, 512), num_tiles // 8)
 
 
@@ -81,7 +95,8 @@ def load_cached_caps(cfg) -> "BlockCaps":
     import json
     import os
     caps = BlockCaps(cfg.tile_candidates, cfg.cell_cap, cfg.vertex_cap,
-                     cfg.index_cap, occ_tile_cap=default_occ_tile_cap(cfg))
+                     cfg.index_cap, occ_tile_cap=default_occ_tile_cap(cfg),
+                     march_tile_cap=default_march_tile_cap(cfg))
     try:
         with open(_caps_cache_path()) as f:
             saved = json.load(f).get(_caps_cache_key(cfg))
@@ -95,6 +110,8 @@ def load_cached_caps(cfg) -> "BlockCaps":
                                  int(saved.get("index_cap", 0)))
             caps.occ_tile_cap = max(caps.occ_tile_cap,
                                     int(saved.get("occ_tile_cap", 0)))
+            caps.march_tile_cap = max(caps.march_tile_cap,
+                                      int(saved.get("march_tile_cap", 0)))
     except (OSError, ValueError, KeyError):
         pass
     return caps
@@ -117,6 +134,7 @@ def save_cached_caps(cfg, caps: "BlockCaps") -> None:
             "vertex_cap": caps.vertex_cap,
             "index_cap": caps.index_cap,
             "occ_tile_cap": caps.occ_tile_cap,
+            "march_tile_cap": caps.march_tile_cap,
         }
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
@@ -176,7 +194,8 @@ def run_block(splats_padded: np.ndarray, valid: np.ndarray,
             max_candidates=caps.max_candidates,
             cell_cap=caps.cell_cap, vertex_cap=caps.vertex_cap,
             index_cap=caps.index_cap, fit_shape=cfg.fit_shape,
-            mls_backend=backend, occ_tile_cap=caps.occ_tile_cap)
+            mls_backend=backend, occ_tile_cap=caps.occ_tile_cap,
+            march_tile_cap=caps.march_tile_cap)
         if not _check_overflow(result, caps, caps):
             return result
         stats.counter("device.capRetries").add(1)

@@ -68,6 +68,7 @@ def _dispatch(padded, valid, bucket, cfg, caps, device,
         mls_backend=resolve_mls_backend(getattr(cfg, "mls_backend", "auto")),
         pack_output=True,
         occ_tile_cap=caps.occ_tile_cap,
+        march_tile_cap=caps.march_tile_cap,
         device_filter=device_filter)
     # NOTE: do NOT copy_to_host_async the full packed buffer here — on this
     # platform d2h transfers do not overlap device compute, so an eager
@@ -114,6 +115,12 @@ def _check_overflow(result: BlockResult, built, caps) -> bool:
         nt = int(result.num_occ_tiles)
         if nt > built.occ_tile_cap:
             caps.occ_tile_cap = grow(caps.occ_tile_cap, nt)
+            retry = True
+    if (getattr(built, "march_tile_cap", 0)
+            and getattr(result, "num_march_tiles", None) is not None):
+        nmt = int(result.num_march_tiles)
+        if nmt > built.march_tile_cap:
+            caps.march_tile_cap = grow(caps.march_tile_cap, nmt)
             retry = True
     return retry
 

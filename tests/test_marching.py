@@ -217,3 +217,68 @@ class TestOverflow:
                 jnp.asarray(field), jnp.asarray((7, 7, 7), jnp.int32),
                 jnp.asarray((0, 0, 0), jnp.int32),
                 cell_cap=64, vertex_cap=1 << 8, index_cap=3 << 24)
+
+
+class TestTiledClassify:
+    """Tile-compacted classification (ops/marching._classify_tiled, the
+    analogue of the reference's genOccupied compaction,
+    kernels/marching.cl:84): bitwise-identical to the dense path whenever
+    the candidate tiles fit, overflow reported via num_tiles."""
+
+    def fields(self):
+        sph = sphere_field(32, (15.5, 15.3, 15.8), 9.0)
+        holed = sphere_field(24, (11.5, 11.5, 11.5), 8.0)
+        holed[:, :, :5] = np.nan
+        g = np.arange(16, dtype=np.float32)
+        plane = np.broadcast_to((g - 7.3)[:, None, None], (16, 16, 16)).copy()
+        sparse = np.full((32, 32, 32), np.nan, np.float32)
+        sparse[4:12, 4:12, 4:12] = sphere_field(8, (3.5, 3.5, 3.5), 2.5)
+        # 18 corners: cell count 17 is not a multiple of the 8-cell tile
+        odd = sphere_field(18, (8.5, 8.5, 8.5), 6.0)
+        return [(sph, (31, 31, 31)), (holed, (23, 23, 23)),
+                (plane, (15, 15, 15)), (sparse, (31, 31, 31)),
+                (odd, (17, 17, 17)), (sph, (31, 20, 13))]
+
+    def test_bitwise_equals_dense(self):
+        for field, region in self.fields():
+            dense = marching.generate(
+                jnp.asarray(field), jnp.asarray(region, jnp.int32),
+                jnp.asarray((3, 5, 7), jnp.int32), **CAPS)
+            tiled = marching.generate(
+                jnp.asarray(field), jnp.asarray(region, jnp.int32),
+                jnp.asarray((3, 5, 7), jnp.int32), **CAPS,
+                tile_cap=1 << 10)
+            assert int(tiled.num_cells) == int(dense.num_cells)
+            assert int(tiled.num_vertices) == int(dense.num_vertices)
+            assert int(tiled.num_indices) == int(dense.num_indices)
+            np.testing.assert_array_equal(
+                np.asarray(tiled.vertices).view(np.uint32),
+                np.asarray(dense.vertices).view(np.uint32))
+            np.testing.assert_array_equal(np.asarray(tiled.key_hi),
+                                          np.asarray(dense.key_hi))
+            np.testing.assert_array_equal(np.asarray(tiled.key_lo),
+                                          np.asarray(dense.key_lo))
+            np.testing.assert_array_equal(np.asarray(tiled.triangles),
+                                          np.asarray(dense.triangles))
+
+    def test_tile_overflow_reported(self):
+        """tile_cap smaller than the candidate count: num_tiles reports the
+        TRUE candidate count so the host grows the cap and retries."""
+        field = sphere_field(32, (15.5, 15.5, 15.5), 9.0)
+        tiled = marching.generate(
+            jnp.asarray(field), jnp.asarray((31, 31, 31), jnp.int32),
+            jnp.asarray((0, 0, 0), jnp.int32), **CAPS, tile_cap=2)
+        assert int(tiled.num_tiles) > 2
+        full = marching.generate(
+            jnp.asarray(field), jnp.asarray((31, 31, 31), jnp.int32),
+            jnp.asarray((0, 0, 0), jnp.int32), **CAPS, tile_cap=64)
+        # every tile of the fully-finite field is a candidate
+        assert int(full.num_tiles) == 64
+        assert int(tiled.num_tiles) == 64
+
+    def test_dense_path_reports_zero_tiles(self):
+        field = sphere_field(16, (8, 8, 8), 5.0)
+        mesh = marching.generate(
+            jnp.asarray(field), jnp.asarray((15, 15, 15), jnp.int32),
+            jnp.asarray((0, 0, 0), jnp.int32), **CAPS)
+        assert int(mesh.num_tiles) == 0
