@@ -156,6 +156,23 @@ def main():
     from mlsgpu_tpu.pipeline.reconstruct import reconstruct
     from mlsgpu_tpu.utils.statistics import get_registry
 
+    # Kernel correctness gate: validate the Mosaic-compiled Pallas kernel
+    # against the XLA path on this very chip BEFORE timing anything (the
+    # reference compiles kernel unit tests into every perCommit run,
+    # test/test_mls.cpp:59-130). A gate failure is a result, not a crash.
+    import jax
+    if jax.default_backend() != "cpu":
+        from mlsgpu_tpu.ops.kernel_gate import run_kernel_gate
+        try:
+            t0 = time.monotonic()
+            summary = run_kernel_gate()
+            print(f"# kernel gate OK ({time.monotonic() - t0:.1f}s): "
+                  f"{summary}", file=sys.stderr, flush=True)
+        except AssertionError as e:
+            _best["note"] = f"kernel gate FAILED: {e}"
+            _emit()
+            return
+
     splats, sr = make_cloud(N_SPLATS)
     # grid spacing ~= splat spacing/1.5 => splat radius ~4.5 cells
     spacing = sr / 3.0
@@ -174,9 +191,10 @@ def main():
     # identical compiled program (uniform run-wide pad shape) and the grown
     # caps — the measured pass is pure steady-state throughput.
     from mlsgpu_tpu.pipeline.reconstruct import (
-        BlockCaps, default_occ_tile_cap)
+        BlockCaps, default_march_tile_cap, default_occ_tile_cap)
     caps = BlockCaps(cfg.tile_candidates, cfg.cell_cap, cfg.vertex_cap,
-                     cfg.index_cap, occ_tile_cap=default_occ_tile_cap(cfg))
+                     cfg.index_cap, occ_tile_cap=default_occ_tile_cap(cfg),
+                     march_tile_cap=default_march_tile_cap(cfg))
     t0 = time.monotonic()
     reconstruct(src, cfg, out, show_progress=False, caps=caps)
     warm_elapsed = time.monotonic() - t0
