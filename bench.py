@@ -178,10 +178,15 @@ def main():
     spacing = sr / 3.0
     cfg = ReconstructConfig(
         fit_grid=float(spacing), fit_smooth=1.0, fit_prune=0.02,
-        levels=6, subsampling=3,
+        # BENCH_LEVELS: block-size experiments (levels=7 -> 512^3 blocks,
+        # ~6x fewer per-block fixed costs; levels=6 is the default config).
+        levels=int(os.environ.get("BENCH_LEVELS", 6)), subsampling=3,
         max_device_splats=4 << 20,
         tile_candidates=384,
         progress=False,
+        # BENCH_STATS_DEVICE=1: per-stage device timing (fences stages —
+        # profiling runs only, the measured number will be slower).
+        statistics_device=bool(os.environ.get("BENCH_STATS_DEVICE")),
     )
 
     out = os.path.join(tempfile.mkdtemp(), "bench.ply")

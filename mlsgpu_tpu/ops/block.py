@@ -41,6 +41,39 @@ class BlockResult(NamedTuple):
     # edge-key + t16 encoding, and no separate key region is needed at all
     # (the host recomputes weld keys from the vertex encoding).
     packed: jnp.ndarray = None
+    # All diagnostic/count scalars stacked into ONE int32[8] device array
+    # (order = COUNTS_FIELDS): on a tunneled device every separate int()
+    # read is a round trip, so the host fetches this once per block instead
+    # of ~9 times (the reference reads its three counts in one readback
+    # too, src/marching.cpp:553-566).
+    counts: jnp.ndarray = None
+
+
+#: Order of the scalars inside BlockResult.counts.
+COUNTS_FIELDS = ("num_vertices", "first_external", "num_indices",
+                 "max_tile_candidates", "num_cells", "num_unwelded",
+                 "num_occ_tiles", "num_march_tiles")
+
+
+def fetch_counts(result) -> "np.ndarray":
+    """Fetch all of a result's count scalars with a single d2h transfer
+    (falls back to per-field reads for results without a counts vector)."""
+    import numpy as np
+    c = getattr(result, "counts", None)
+    if c is not None:
+        return np.asarray(c).astype(np.int64)
+    out = []
+    for f in COUNTS_FIELDS:
+        v = getattr(result, f, None)
+        out.append(0 if v is None else int(v))
+    return np.asarray(out, np.int64)
+
+
+def _stack_counts(welded, mesh, max_total, n_occ) -> jnp.ndarray:
+    vals = (welded.num_vertices, welded.first_external, welded.num_indices,
+            max_total, mesh.num_cells, mesh.num_vertices,
+            n_occ, mesh.num_tiles if mesh.num_tiles is not None else 0)
+    return jnp.stack([jnp.asarray(v, jnp.int32).reshape(()) for v in vals])
 
 
 class PackFormat(NamedTuple):
@@ -364,6 +397,7 @@ def block_step_body(splats: jnp.ndarray,
         num_occ_tiles=n_occ,
         num_march_tiles=mesh.num_tiles,
         packed=packed,
+        counts=_stack_counts(welded, mesh, max_total, n_occ),
     )
 
 
@@ -463,7 +497,8 @@ def block_step_staged(splats, valid, region_cells, cell_origin,
         first_external=welded.first_external, num_indices=welded.num_indices,
         max_tile_candidates=max_total, num_cells=mesh.num_cells,
         num_unwelded=mesh.num_vertices, num_occ_tiles=n_occ,
-        num_march_tiles=mesh.num_tiles, packed=packed)
+        num_march_tiles=mesh.num_tiles, packed=packed,
+        counts=jax.jit(_stack_counts)(welded, mesh, max_total, n_occ))
 
 
 _jit_tile_segments = functools.partial(

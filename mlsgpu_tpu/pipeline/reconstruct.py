@@ -299,11 +299,12 @@ def reconstruct(source: SplatSource, cfg: ReconstructConfig, output: str,
                 if show_progress else NullProgress())
 
     with stats.timer("pass1.time"):
-        from mlsgpu_tpu.pipeline.streamer import stream_blocks
+        from mlsgpu_tpu.pipeline.streamer import (consume_threaded,
+                                                  stream_blocks)
         from mlsgpu_tpu.utils import timeplot
         mesher_worker = timeplot.Worker("mesher")
-        for bucket, result in stream_blocks(source, info, buckets, cfg, caps,
-                                            device_filter=device_filter):
+
+        def consume(bucket, result):
             block = block_result_to_input(result, bucket)
             with timeplot.Action("mesher", mesher_worker,
                                  stats.variable("mesher.time")):
@@ -316,7 +317,14 @@ def reconstruct(source: SplatSource, cfg: ReconstructConfig, output: str,
                                        first_external=block.first_external,
                                        ext_keys=block.ext_keys, triangles=t)
                 mesher.add(block)
-            progress += bucket.num_splats
+            progress.add(bucket.num_splats)
+
+        # Mesher consumption on its own thread (the reference's MesherGroup,
+        # src/workers.h:74-131): readback decode + union-find overlap the
+        # producer's device scalar/transfer waits.
+        consume_threaded(
+            stream_blocks(source, info, buckets, cfg, caps,
+                          device_filter=device_filter), consume)
     save_cached_caps(cfg, caps)
 
     if cfg.checkpoint:

@@ -77,7 +77,7 @@ def _dispatch(padded, valid, bucket, cfg, caps, device,
     return result
 
 
-def _check_overflow(result: BlockResult, built, caps) -> bool:
+def _check_overflow(result: BlockResult, built, caps, counts=None) -> bool:
     """Detect overflow against `built` — the caps the result's program was
     BUILT with — and grow the run's shared `caps` for the retry; returns
     True when a retry is needed (forces the diagnostic scalars — the sync
@@ -94,31 +94,30 @@ def _check_overflow(result: BlockResult, built, caps) -> bool:
         n = int(n) + int(n) // 16 + 1   # 6% headroom against thrash
         return max(cur, eighth_pow2_ceil(n))
 
+    from mlsgpu_tpu.ops.block import fetch_counts
+    if counts is None:
+        counts = fetch_counts(result)  # ONE d2h for all diagnostics
+    (_, _, ni, mt, nc, nuw, n_occ, nmt) = (int(v) for v in counts)
+
     retry = False
-    mt = int(result.max_tile_candidates)
     if mt > built.max_candidates:
         caps.max_candidates = grow(caps.max_candidates, mt)
         retry = True
-    nc = int(result.num_cells)
     if nc > built.cell_cap:
         caps.cell_cap = grow(caps.cell_cap, nc)
         retry = True
-    nuw = int(result.num_unwelded)
     if nuw > built.vertex_cap:
         caps.vertex_cap = grow(caps.vertex_cap, nuw)
         retry = True
-    ni = int(result.num_indices)
     if ni > built.index_cap:
         caps.index_cap = 3 * grow(caps.index_cap // 3, ni // 3 + 1)
         retry = True
     if built.occ_tile_cap and getattr(result, "num_occ_tiles", None) is not None:
-        nt = int(result.num_occ_tiles)
-        if nt > built.occ_tile_cap:
-            caps.occ_tile_cap = grow(caps.occ_tile_cap, nt)
+        if n_occ > built.occ_tile_cap:
+            caps.occ_tile_cap = grow(caps.occ_tile_cap, n_occ)
             retry = True
     if (getattr(built, "march_tile_cap", 0)
             and getattr(result, "num_march_tiles", None) is not None):
-        nmt = int(result.num_march_tiles)
         if nmt > built.march_tile_cap:
             caps.march_tile_cap = grow(caps.march_tile_cap, nmt)
             retry = True
@@ -127,11 +126,12 @@ def _check_overflow(result: BlockResult, built, caps) -> bool:
 
 def _prefix_size(n: int, cap: int) -> int:
     """Transfer-slice size for a live count n: next power of two, refined by
-    quarter-steps (<= 25% slop vs up to 100% for plain pow2). Each distinct
+    eighth-steps (<= 12.5% slop vs up to 100% for plain pow2). Each distinct
     size compiles one trivial device slice program, so sizes must come from
-    a small set — this yields at most 4 per octave."""
+    a small set — this yields at most 8 per octave (the d2h link is the
+    pipeline bottleneck, so slop is wall time)."""
     p = next_pow2(max(n, 1))
-    step = max(p // 4, 1)
+    step = max(p // 8, 1)
     return min(((n + step - 1) // step) * step, cap)
 
 
@@ -143,10 +143,13 @@ class PrefetchedResult:
     prefix travels: one quantized transfer, no key region. The count scalars
     are pre-read."""
 
-    def __init__(self, result: BlockResult, pack_fmt=None):
-        self.num_vertices = int(result.num_vertices)
-        self.num_indices = int(result.num_indices)
-        self.first_external = int(result.first_external)
+    def __init__(self, result: BlockResult, pack_fmt=None, counts=None):
+        from mlsgpu_tpu.ops.block import fetch_counts
+        if counts is None:
+            counts = fetch_counts(result)
+        self.num_vertices = int(counts[0])
+        self.first_external = int(counts[1])
+        self.num_indices = int(counts[2])
         self.pack_fmt = pack_fmt
 
         def prefix(arr, n):
@@ -171,12 +174,70 @@ class PrefetchedResult:
         self.key_lo = prefix(result.key_lo, nv)
 
 
+def consume_threaded(pairs: Iterator, fn, depth: int = 2) -> None:
+    """Run `fn(bucket, result)` on a dedicated consumer thread while the
+    producer iterator (the dispatch/force loop) keeps the device fed — the
+    reference's single-threaded MesherGroup (src/workers.h:74-131,
+    src/workers.cpp:60-108). Even on one host core this overlaps real time:
+    the producer's scalar-sync and d2h waits release the GIL, so the
+    consumer's decode/union-find CPU work runs inside them (and vice
+    versa). `depth` bounds queued results (each holds one block's mesh
+    readback window). Exceptions on either side cancel the other and
+    re-raise."""
+    out_q: "queue.Queue" = queue.Queue(maxsize=depth)
+    err: List[BaseException] = []
+
+    def consumer():
+        while True:
+            item = out_q.get()
+            if item is _SENTINEL:
+                return
+            try:
+                fn(*item)
+            except BaseException as e:
+                err.append(e)
+                return
+
+    t = threading.Thread(target=consumer, name="mesher", daemon=True)
+    t.start()
+    try:
+        for pair in pairs:
+            while not err:
+                try:
+                    out_q.put(pair, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+            if err:
+                break
+    finally:
+        close = getattr(pairs, "close", None)
+        if close is not None:
+            close()  # run the producer's cleanup (loader join) promptly
+        while not err:
+            try:
+                out_q.put(_SENTINEL, timeout=0.2)
+                break
+            except queue.Full:
+                continue
+        t.join()
+    if err:
+        raise err[0]
+
+
 def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
                   devices: Optional[List] = None,
                   window: Optional[int] = None,
-                  device_filter=None
+                  device_filter=None,
+                  bucket_iter=None
                   ) -> Iterator[Tuple[object, BlockResult]]:
-    """Yield (bucket, forced+prefetched result) for every bucket, pipelined."""
+    """Yield (bucket, forced+prefetched result) for every bucket, pipelined.
+
+    `buckets` sizes the run-wide pads/budgets (every bucket that COULD be
+    streamed); `bucket_iter`, when given, is the possibly-lazy iterable of
+    buckets actually streamed — the distributed dynamic work queue claims
+    chunks through it at the loader's pace, so claim-ahead is bounded by the
+    prefetch window (the pull-model scatter, mlsgpu-mpi.cpp:202-246)."""
     stats = get_registry()
     devices = devices if devices is not None else _pick_devices(cfg.num_devices)
     if window is None:
@@ -259,7 +320,7 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
         worker = timeplot.Worker("loader")
         try:
             from mlsgpu_tpu.pipeline.reconstruct import prepare_block_inputs
-            for b in buckets:
+            for b in (bucket_iter if bucket_iter is not None else buckets):
                 if cancel.is_set():
                     return
                 with timeplot.Action("load", worker,
@@ -294,12 +355,13 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
     compute_worker = timeplot.Worker("device")
 
     def force(entry):
-        from mlsgpu_tpu.ops.block import pack_format
+        from mlsgpu_tpu.ops.block import fetch_counts, pack_format
         b, padded, valid, pts, result, device, di, built = entry
         in_use[di] -= 1
         with timeplot.Action("compute", compute_worker,
                              stats.variable("device.time")):
-            while _check_overflow(result, built, caps):
+            counts = fetch_counts(result)  # one d2h for all diagnostics
+            while _check_overflow(result, built, caps, counts=counts):
                 stats.counter("device.capRetries").add(1)
                 log.info(f"block {b.chunk_id.gen}: cap overflow, retrying "
                          f"(K={caps.max_candidates}, cells={caps.cell_cap}, "
@@ -307,11 +369,12 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
                 built = copy.copy(caps)
                 result = _dispatch(padded, valid, b, cfg, caps, device,
                                    device_filter, points=pts)
+                counts = fetch_counts(result)
         # The pack layout is the one the ACCEPTED result's program used —
         # built.vertex_cap, not the live caps (which may have grown past an
         # index-width threshold while this block was in flight).
         fmt = pack_format(cfg.levels, cfg.subsampling, built.vertex_cap)
-        return b, PrefetchedResult(result, pack_fmt=fmt)
+        return b, PrefetchedResult(result, pack_fmt=fmt, counts=counts)
 
     try:
         while True:

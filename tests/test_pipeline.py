@@ -537,6 +537,65 @@ def test_procedural_scan_source_coherent_and_consistent():
     assert len(info.blobs) < 200000 / 5  # >=5 splats/blob on average
 
 
+class TestConsumeThreaded:
+    """The threaded mesher consumer (reference MesherGroup,
+    src/workers.h:74-131): order preservation and two-way error
+    propagation."""
+
+    def test_preserves_order_and_consumes_all(self):
+        from mlsgpu_tpu.pipeline.streamer import consume_threaded
+        got = []
+        consume_threaded(((i, i * i) for i in range(100)),
+                         lambda a, b: got.append((a, b)))
+        assert got == [(i, i * i) for i in range(100)]
+
+    def test_consumer_error_propagates_and_stops_producer(self):
+        from mlsgpu_tpu.pipeline.streamer import consume_threaded
+        produced = []
+
+        def produce():
+            for i in range(1000):
+                produced.append(i)
+                yield i, i
+
+        def consume(a, b):
+            if a == 5:
+                raise RuntimeError("mesher failed")
+
+        with pytest.raises(RuntimeError, match="mesher failed"):
+            consume_threaded(produce(), consume)
+        # bounded over-production: the queue depth, not the full stream
+        assert len(produced) < 50
+
+    def test_producer_error_propagates(self):
+        from mlsgpu_tpu.pipeline.streamer import consume_threaded
+
+        def produce():
+            yield 1, 1
+            raise ValueError("loader failed")
+
+        got = []
+        with pytest.raises(ValueError, match="loader failed"):
+            consume_threaded(produce(), lambda a, b: got.append(a))
+        assert got == [1]
+
+    def test_producer_cleanup_runs(self):
+        from mlsgpu_tpu.pipeline.streamer import consume_threaded
+        cleaned = []
+
+        def produce():
+            try:
+                for i in range(100):
+                    yield i, i
+            finally:
+                cleaned.append(True)
+
+        with pytest.raises(RuntimeError):
+            consume_threaded(produce(), lambda a, b: (_ for _ in ()).throw(
+                RuntimeError("boom")))
+        assert cleaned == [True]
+
+
 class TestOverflowCheck:
     def test_stale_inflight_result_detected(self):
         """A result built with small caps must be flagged as overflowed even
