@@ -102,6 +102,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="total processes in the multi-host run [%(default)s]")
     m.add_argument("--process-id", type=int, default=0,
                    help="this process's rank [%(default)s]")
+    m.add_argument("--scatter", choices=("dynamic", "static"),
+                   default=d.scatter,
+                   help="work distribution: dynamic = chunks claimed from a "
+                        "shared queue (pull-model, self-balancing), static = "
+                        "one-shot greedy assignment [%(default)s]")
 
     o = p.add_argument_group("observability")
     o.add_argument("--statistics", action="store_true",
@@ -138,6 +143,7 @@ def config_from_args(args) -> ReconstructConfig:
         tile_candidates=args.tile_candidates,
         device_threads=args.device_threads,
         num_devices=args.num_devices,
+        scatter=args.scatter,
         output_split_size=args.split_size,
         mls_backend=args.mls_backend,
         mem_reorder=args.mem_reorder,

@@ -85,6 +85,10 @@ class ReconstructConfig:
 
     # --- parallel ---
     num_devices: int = 0             # 0 = all local devices
+    scatter: str = "dynamic"         # distributed work distribution:
+    # 'dynamic' = chunks claimed from a shared queue (the reference's
+    # pull-model scatter, mlsgpu-mpi.cpp:202-246; self-balances skew),
+    # 'static' = one-shot greedy assignment (no side channel needed)
 
     def validate(self) -> None:
         """Two-stage validation, stage 1 (reference validateOptions,
@@ -105,8 +109,18 @@ class ReconstructConfig:
             # The MLS tile is 8^3 corners = one leaf node; leaves must be at
             # least that big (reference subsamplingMin, src/mls.cpp:53-60).
             raise InvalidOption("subsampling must be >= 3")
-        if self.subsampling > 16 or self.levels + self.subsampling > 21:
-            raise InvalidOption("levels + subsampling too large")
+        if self.subsampling > 16 or self.levels + self.subsampling > 11:
+            # Honest device-block bound: the MLS corner field is dense in
+            # HBM (2^(levels+subsampling-1))^3 f32 = 4.3 GiB at the 1024^3
+            # limit (the reference instead streams z-swathes of an
+            # unbounded volume, src/marching.cpp:783-823, allowing 2^13 —
+            # a capability we bound rather than claim; larger models still
+            # work because bucketing splits them into <= 2^10 blocks).
+            raise InvalidOption(
+                "levels + subsampling must be <= 11: device blocks are "
+                f"2^(levels+subsampling-1) (= 2^{self.levels + self.subsampling - 1}) "
+                "corners per axis and the dense corner field must fit HBM "
+                "(1024^3 f32 = 4.3 GiB)")
         if self.leaf_cells < 1:
             raise InvalidOption("leaf_cells must be >= 1")
         # budget ordering (reference validateOptions,
@@ -119,6 +133,8 @@ class ReconstructConfig:
                 "mem_load_splats must not exceed mem_host_splats")
         if self.max_split < 8:
             raise InvalidOption("max_split must be at least 8")
+        if self.scatter not in ("dynamic", "static"):
+            raise InvalidOption("scatter must be dynamic or static")
 
     @property
     def block_corners(self) -> int:
