@@ -166,3 +166,12 @@ def test_config_validation_and_capacity():
     bad2 = ReconstructConfig(subsampling=2)
     with pytest.raises(InvalidOption):
         bad2.validate()
+    # Honest block-size bound: dense corner field must fit HBM (the
+    # reference instead swathe-streams to 2^13, src/marching.cpp:783-823 —
+    # a capability we bound, not claim; see COVERAGE.md limits table).
+    ReconstructConfig(levels=8, subsampling=3).validate()  # 2^10: ok
+    big = ReconstructConfig(levels=9, subsampling=3)       # 2^11: too big
+    with pytest.raises(InvalidOption, match="corner field"):
+        big.validate()
+    with pytest.raises(InvalidOption):
+        ReconstructConfig(scatter="pull").validate()
