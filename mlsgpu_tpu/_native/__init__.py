@@ -21,6 +21,8 @@ _lib = None
 _tried = False
 
 _I64 = ctypes.POINTER(ctypes.c_int64)
+_I32 = ctypes.POINTER(ctypes.c_int32)
+_U32 = ctypes.POINTER(ctypes.c_uint32)
 _U8 = ctypes.POINTER(ctypes.c_uint8)
 _F32 = ctypes.POINTER(ctypes.c_float)
 
@@ -77,6 +79,26 @@ def get_lib():
         lib.mls_decode_splats_mt.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, _I64,
             ctypes.c_float, ctypes.c_float, _F32, ctypes.c_int64]
+        lib.mls_unpack_readback.argtypes = [
+            _U32, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, _I64, _F32, _I32, _I64]
+        lib.mls_mesher_add.restype = ctypes.c_int64
+        lib.mls_mesher_add.argtypes = [
+            _F32, ctypes.c_int64, _I32, ctypes.c_int64, ctypes.c_int64,
+            _I64, _I64, _I64, _I64, _I64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            _U32, _U32, _I64]
+        lib.mls_write_pass_a.restype = ctypes.c_int64
+        lib.mls_write_pass_a.argtypes = [
+            _U32, ctypes.c_int64, _I64, _I64, ctypes.c_int64,
+            ctypes.c_int64, _U32]
+        lib.mls_write_verts.restype = ctypes.c_int64
+        lib.mls_write_verts.argtypes = [
+            _U32, ctypes.c_int64, _U32, _F32, ctypes.c_float, _F32, _F32]
+        lib.mls_write_tris.restype = ctypes.c_int64
+        lib.mls_write_tris.argtypes = [_U32, ctypes.c_int64, _U32, _U8]
+        lib.mls_count_tris_kept.restype = ctypes.c_int64
+        lib.mls_count_tris_kept.argtypes = [_U32, ctypes.c_int64, _U32]
         _lib = lib
         return _lib
 
@@ -253,3 +275,122 @@ def blob_rle(chunk: np.ndarray, first_id: int, inv_spacing: float,
         _ptr(out_start, _I64), _ptr(out_count, _I64),
         _ptr(out_lo, _I64), _ptr(out_hi, _I64))
     return out_start[:k], out_count[:k], out_lo[:k], out_hi[:k]
+
+
+_INDEX_MODES = {"u16": 0, "u21x3": 1, "u32": 2}
+
+
+def unpack_readback(flat: np.ndarray, ni: int, nv: int, fe: int,
+                    index_mode: str, vertex_words: int,
+                    cell_origin: np.ndarray):
+    """Native decode of the packed block readback; returns (verts (nv,3)
+    f32 in GLOBAL grid coords, tris (ni/3,3) i32, ext_keys (nv-fe,) i64),
+    or None when the library is unavailable. Bitwise-identical to
+    ops/block.unpack_readback + the cell-origin add."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    flat = np.ascontiguousarray(flat, dtype=np.uint32)
+    cell_origin = np.ascontiguousarray(cell_origin, dtype=np.int64)
+    verts = np.empty((nv, 3), np.float32)
+    tris = np.empty((ni // 3, 3), np.int32)
+    keys = np.empty(nv - fe, np.int64)
+    lib.mls_unpack_readback(
+        _ptr(flat, _U32), ni, nv, fe, _INDEX_MODES[index_mode],
+        vertex_words, _ptr(cell_origin, _I64), _ptr(verts, _F32),
+        _ptr(tris, _I32), _ptr(keys, _I64))
+    return verts, tris, keys
+
+
+def mesher_add(verts, tris, first_ext, keys, clumps, base,
+               key_clump: "KeyMap", chunk_keys: "KeyMap",
+               chunk_nv_base: int):
+    """Fused OOCMesher.add hot path. clumps supplies raw int64 capacity
+    buffers (_parent/_size/_nv/_nt), pre-grown to hold base + len(verts)
+    nodes. Returns (n_new, vrec (n_new,4) u32, trec (m,3) u32,
+    stats [num_local, new_global_keys, new_chunk_keys]) or None when the
+    library (or a native map) is unavailable. Raises ValueError on a
+    corrupt triangle index."""
+    lib = get_lib()
+    if lib is None or key_clump._h is None or chunk_keys._h is None:
+        return None
+    verts = np.ascontiguousarray(verts, dtype=np.float32)
+    tris = np.ascontiguousarray(tris, dtype=np.int32)
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    n, m = len(verts), len(tris)
+    vrec = np.empty((max(n, 1), 4), np.uint32)
+    trec = np.empty((max(m, 1), 3), np.uint32)
+    stats = np.zeros(3, np.int64)
+    n_new = lib.mls_mesher_add(
+        _ptr(verts, _F32), n, _ptr(tris, _I32), m, first_ext,
+        _ptr(keys, _I64),
+        _ptr(clumps._parent, _I64), _ptr(clumps._size, _I64),
+        _ptr(clumps._nv, _I64), _ptr(clumps._nt, _I64), base,
+        key_clump._h, chunk_keys._h, chunk_nv_base,
+        _ptr(vrec, _U32), _ptr(trec, _U32), _ptr(stats, _I64))
+    if n_new < 0:
+        raise ValueError("triangle index out of range")
+    return n_new, vrec[:n_new], trec[:m], stats
+
+
+def write_pass_a(raw: np.ndarray, parent: np.ndarray,
+                 pruned_sorted, nv_base: int):
+    """Final-write pass A over one (n,4) u32 vertex-record slice. Returns
+    (kept_count, remap (n,) u32) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    raw = np.ascontiguousarray(raw, dtype=np.uint32)
+    remap = np.empty(len(raw), np.uint32)
+    if pruned_sorted is None or len(pruned_sorted) == 0:
+        pp, np_ = np.empty(0, np.int64), 0
+    else:
+        pp = np.ascontiguousarray(pruned_sorted, dtype=np.int64)
+        np_ = len(pp)
+    kept = lib.mls_write_pass_a(_ptr(raw, _U32), len(raw),
+                                _ptr(parent, _I64), _ptr(pp, _I64), np_,
+                                nv_base, _ptr(remap, _U32))
+    return kept, remap
+
+
+def write_verts(raw: np.ndarray, remap: np.ndarray, ext_lo, spacing,
+                reference):
+    """Final-write pass B vertices: compact + grid->world transform.
+    Returns an (kept,3) f32 array or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    raw = np.ascontiguousarray(raw, dtype=np.uint32)
+    remap = np.ascontiguousarray(remap, dtype=np.uint32)
+    ext_lo = np.ascontiguousarray(ext_lo, dtype=np.float32)
+    reference = np.ascontiguousarray(reference, dtype=np.float32)
+    out = np.empty((len(raw), 3), np.float32)
+    kept = lib.mls_write_verts(_ptr(raw, _U32), len(raw), _ptr(remap, _U32),
+                               _ptr(ext_lo, _F32), np.float32(spacing),
+                               _ptr(reference, _F32), _ptr(out, _F32))
+    return out[:kept]
+
+
+def write_tris(raw: np.ndarray, remap: np.ndarray):
+    """Final-write pass B triangles: 13-byte PLY records for kept
+    triangles. Returns a bytes object or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    raw = np.ascontiguousarray(raw, dtype=np.uint32)
+    remap = np.ascontiguousarray(remap, dtype=np.uint32)
+    out = np.empty(len(raw) * 13, np.uint8)
+    kept = lib.mls_write_tris(_ptr(raw, _U32), len(raw), _ptr(remap, _U32),
+                              _ptr(out, _U8))
+    return out[:kept * 13].tobytes()
+
+
+def count_tris_kept(raw: np.ndarray, remap: np.ndarray):
+    """Count triangles surviving pruning in one (m,3) slice, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    raw = np.ascontiguousarray(raw, dtype=np.uint32)
+    remap = np.ascontiguousarray(remap, dtype=np.uint32)
+    return int(lib.mls_count_tris_kept(_ptr(raw, _U32), len(raw),
+                                       _ptr(remap, _U32)))

@@ -284,4 +284,305 @@ int64_t mls_blob_rle(const float* splats, int64_t n, int64_t first_id,
     return k;
 }
 
+// ---------------------------------------------------------- packed readback
+// Native decode of ops/block._pack_readback's single-transfer buffer
+// (layout documented at ops/block.py PackFormat). Bitwise-identical to the
+// numpy unpack_readback path: every float op replicates the numpy
+// expression order ((float)base + frac, then + (float)cell_origin).
+// index_mode: 0 = u16, 1 = u21x3, 2 = u32.
+void mls_unpack_readback(const uint32_t* flat, int64_t ni, int64_t nv,
+                         int64_t fe, int32_t index_mode,
+                         int32_t vertex_words,
+                         const int64_t* cell_origin,
+                         float* out_verts,     // (nv, 3) global grid coords
+                         int32_t* out_tris,    // (ni/3, 3)
+                         int64_t* out_keys) {  // (nv - fe,)
+    int64_t iw;
+    if (index_mode == 0) {
+        iw = (ni + 1) / 2;
+        const uint16_t* u16 = reinterpret_cast<const uint16_t*>(flat);
+        for (int64_t i = 0; i < ni; i++) out_tris[i] = (int32_t)u16[i];
+    } else if (index_mode == 1) {
+        iw = 2 * (ni / 3);
+        const uint32_t m21 = 0x1FFFFF;
+        for (int64_t t = 0; t < ni / 3; t++) {
+            uint32_t w0 = flat[2 * t], w1 = flat[2 * t + 1];
+            out_tris[3 * t + 0] = (int32_t)(w0 & m21);
+            out_tris[3 * t + 1] =
+                (int32_t)(((w0 >> 21) | ((w1 & 0x3FFu) << 11)) & m21);
+            out_tris[3 * t + 2] = (int32_t)((w1 >> 10) & m21);
+        }
+    } else {
+        iw = ni;
+        const int32_t* raw = reinterpret_cast<const int32_t*>(flat);
+        for (int64_t i = 0; i < ni; i++) out_tris[i] = raw[i];
+    }
+
+    const uint16_t* words =
+        reinterpret_cast<const uint16_t*>(flat + iw);
+    const float co_f[3] = {(float)cell_origin[0], (float)cell_origin[1],
+                           (float)cell_origin[2]};
+    for (int64_t i = 0; i < nv; i++) {
+        int32_t base[3], parity[3];
+        bool dirb[3];
+        uint32_t t16;
+        if (vertex_words == 3) {
+            const uint16_t* w = words + i * 3;
+            uint32_t tp[3];
+            for (int a = 0; a < 3; a++) {
+                base[a] = (int32_t)(w[a] & 0xFF);
+                parity[a] = (int32_t)((w[a] >> 8) & 1);
+                dirb[a] = ((w[a] >> 9) & 1) != 0;
+                tp[a] = (uint32_t)(w[a] >> 10);
+            }
+            t16 = (tp[0] & 0x3F) | ((tp[1] & 0x3F) << 6)
+                | ((tp[2] & 0xF) << 12);
+        } else {
+            const uint16_t* w = words + i * 4;
+            for (int a = 0; a < 3; a++) {
+                base[a] = (int32_t)(w[a] & 0x1FFF);
+                parity[a] = (int32_t)((w[a] >> 13) & 1);
+                dirb[a] = ((w[a] >> 14) & 1) != 0;
+            }
+            t16 = (uint32_t)w[3];
+        }
+        float t = (float)t16 / 65535.0f;
+        for (int a = 0; a < 3; a++) {
+            float frac = (parity[a] == 1) ? (dirb[a] ? 1.0f - t : t) : 0.0f;
+            out_verts[i * 3 + a] = ((float)base[a] + frac) + co_f[a];
+        }
+        if (i >= fe) {
+            int64_t kg0 = 2 * (int64_t)base[0] + parity[0]
+                + 2 * cell_origin[0];
+            int64_t kg1 = 2 * (int64_t)base[1] + parity[1]
+                + 2 * cell_origin[1];
+            int64_t kg2 = 2 * (int64_t)base[2] + parity[2]
+                + 2 * cell_origin[2];
+            out_keys[i - fe] = kg0 | (kg1 << 21) | (kg2 << 42);
+        }
+    }
+}
+
+// --------------------------------------------------------------- mesher add
+// One fused pass of OOCMesher.add (pipeline/mesher.py; the reference's
+// OOCMesher::add, src/mesher.cpp:447-468): local components over the block
+// triangles, global clump registration + key-based cross-block merging,
+// chunk-local external dedup/remap, and spill record packing. The Python
+// numpy path remains as the fallback; this produces the same mesh (clump id
+// numbering may differ from the numpy path, which only affects internal
+// temp state, never output geometry).
+//
+// Returns n_new (vertices written to vrec) or -1 when a triangle index is
+// out of range (caller raises the corrupt-block error).
+// out_stats: [num_local, new_global_keys, new_chunk_keys].
+static inline void global_union(int64_t* parent, int64_t* size,
+                                int64_t* nv, int64_t* nt,
+                                int64_t a, int64_t b) {
+    int64_t ra = uf_find(parent, a);
+    int64_t rb = uf_find(parent, b);
+    if (ra == rb) return;
+    if (size[ra] < size[rb]) { int64_t t = ra; ra = rb; rb = t; }
+    parent[rb] = ra;
+    size[ra] += size[rb];
+    nv[ra] += nv[rb];
+    nt[ra] += nt[rb];
+}
+
+int64_t mls_mesher_add(const float* verts, int64_t n,
+                       const int32_t* tris, int64_t m,
+                       int64_t first_ext, const int64_t* keys,
+                       int64_t* cl_parent, int64_t* cl_size,
+                       int64_t* cl_nv, int64_t* cl_nt, int64_t base,
+                       void* key_clump_h, void* chunk_keys_h,
+                       int64_t chunk_nv_base,
+                       uint32_t* vrec, uint32_t* trec,
+                       int64_t* out_stats) {
+    // 1. Local components (union by size, path halving).
+    std::vector<int32_t> parent((size_t)n), sz((size_t)n, 1);
+    for (int64_t i = 0; i < n; i++) parent[(size_t)i] = (int32_t)i;
+    auto lfind = [&](int32_t x) {
+        while (parent[(size_t)x] != x) {
+            parent[(size_t)x] = parent[(size_t)parent[(size_t)x]];
+            x = parent[(size_t)x];
+        }
+        return x;
+    };
+    for (int64_t t = 0; t < m; t++) {
+        int32_t a = tris[t * 3], b = tris[t * 3 + 1], c = tris[t * 3 + 2];
+        if (a < 0 || b < 0 || c < 0 || a >= n || b >= n || c >= n) return -1;
+        for (int k = 0; k < 2; k++) {
+            int32_t ra = lfind(a), rb = lfind(k == 0 ? b : c);
+            if (ra == rb) continue;
+            if (sz[(size_t)ra] < sz[(size_t)rb]) std::swap(ra, rb);
+            parent[(size_t)rb] = ra;
+            sz[(size_t)ra] += sz[(size_t)rb];
+        }
+    }
+    // Label components by root index order; count verts/tris per label.
+    std::vector<int32_t> label((size_t)n);
+    int64_t num_local = 0;
+    for (int64_t i = 0; i < n; i++)
+        if (lfind((int32_t)i) == (int32_t)i)
+            label[(size_t)i] = (int32_t)num_local++;
+    for (int64_t i = 0; i < n; i++)
+        label[(size_t)i] = label[(size_t)lfind((int32_t)i)];
+
+    // 2. Register new global clumps [base, base + num_local).
+    for (int64_t j = 0; j < num_local; j++) {
+        cl_parent[base + j] = base + j;
+        cl_size[base + j] = 1;
+        cl_nv[base + j] = 0;
+        cl_nt[base + j] = 0;
+    }
+    for (int64_t i = 0; i < n; i++) cl_nv[base + label[(size_t)i]]++;
+    for (int64_t t = 0; t < m; t++)
+        cl_nt[base + label[(size_t)tris[t * 3]]]++;
+
+    // 3. Cross-block clump merge via shared external keys.
+    KeyMap* gk = static_cast<KeyMap*>(key_clump_h);
+    int64_t new_global = 0;
+    for (int64_t i = first_ext; i < n; i++) {
+        int64_t k = keys[i - first_ext];
+        int64_t c = base + label[(size_t)i];
+        if ((gk->count + 1) * 4 >= (gk->mask + 1) * 3) km_grow(gk);
+        int64_t slot = km_hash(k) & gk->mask;
+        while (true) {
+            if (gk->keys[(size_t)slot] == k) {
+                int64_t prev = gk->vals[(size_t)slot];
+                if (prev != c)
+                    global_union(cl_parent, cl_size, cl_nv, cl_nt, prev, c);
+                break;
+            }
+            if (gk->keys[(size_t)slot] == KM_EMPTY) {
+                gk->keys[(size_t)slot] = k;
+                gk->vals[(size_t)slot] = c;
+                gk->count++;
+                new_global++;
+                break;
+            }
+            slot = (slot + 1) & gk->mask;
+        }
+    }
+
+    // 4. Chunk-local dedup + remap + record packing. Lookup-only during the
+    // pass (so duplicate in-block keys each get their own row, matching the
+    // numpy path), inserts deferred (first id wins).
+    KeyMap* ck = static_cast<KeyMap*>(chunk_keys_h);
+    std::vector<int64_t> remap((size_t)n);
+    std::vector<int64_t> nkeys, nvals;
+    int64_t running = chunk_nv_base;
+    int64_t n_new = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t mapped = -1;
+        if (i >= first_ext) {
+            int64_t k = keys[i - first_ext];
+            int64_t slot = km_hash(k) & ck->mask;
+            while (ck->keys[(size_t)slot] != KM_EMPTY) {
+                if (ck->keys[(size_t)slot] == k) {
+                    mapped = ck->vals[(size_t)slot];
+                    break;
+                }
+                slot = (slot + 1) & ck->mask;
+            }
+            if (mapped < 0) {
+                nkeys.push_back(k);
+                nvals.push_back(running);
+            }
+        }
+        if (mapped < 0) {
+            uint32_t* row = vrec + n_new * 4;
+            std::memcpy(row, verts + i * 3, 12);
+            row[3] = (uint32_t)(base + label[(size_t)i]);
+            mapped = running++;
+            n_new++;
+        }
+        remap[(size_t)i] = mapped;
+    }
+    if (!nkeys.empty()) {
+        std::vector<uint8_t> tmp_new(nkeys.size());
+        std::vector<int64_t> tmp_val(nkeys.size());
+        mls_keymap_get_or_insert(ck, nkeys.data(), (int64_t)nkeys.size(),
+                                 nvals.data(), tmp_val.data(),
+                                 tmp_new.data());
+    }
+    for (int64_t t = 0; t < m * 3; t++)
+        trec[t] = (uint32_t)remap[(size_t)tris[t]];
+
+    out_stats[0] = num_local;
+    out_stats[1] = new_global;
+    out_stats[2] = (int64_t)nkeys.size();
+    return n_new;
+}
+
+// ------------------------------------------------------------- final write
+// Native passes of OOCMesher._write_chunk (pipeline/mesher.py; the
+// reference's final write loop, src/mesher.cpp:763-852).
+
+// Pass A over one vertex-record slice: remap rec-local id -> final vertex
+// id (0xFFFFFFFF = pruned). pruned_sorted: sorted clump-ROOT ids. Returns
+// number kept. parent is mutated by path halving (benign).
+int64_t mls_write_pass_a(const uint32_t* raw, int64_t n, int64_t* parent,
+                         const int64_t* pruned_sorted, int64_t n_pruned,
+                         int64_t nv_base, uint32_t* remap_out) {
+    int64_t kept = 0;
+    for (int64_t i = 0; i < n; i++) {
+        bool keep = true;
+        if (n_pruned > 0) {
+            int64_t root = uf_find(parent, (int64_t)raw[i * 4 + 3]);
+            int64_t lo = 0, hi = n_pruned;
+            while (lo < hi) {
+                int64_t mid = (lo + hi) / 2;
+                if (pruned_sorted[mid] < root) lo = mid + 1;
+                else hi = mid;
+            }
+            keep = !(lo < n_pruned && pruned_sorted[lo] == root);
+        }
+        remap_out[i] = keep ? (uint32_t)(nv_base + kept++) : 0xFFFFFFFFu;
+    }
+    return kept;
+}
+
+// Pass B vertices: compact kept records and apply the grid->world
+// transform ((v + ext_lo) * spacing + reference, matching the numpy
+// expression order). Returns number written.
+int64_t mls_write_verts(const uint32_t* raw, int64_t n,
+                        const uint32_t* remap, const float* ext_lo,
+                        float spacing, const float* reference, float* out) {
+    int64_t j = 0;
+    for (int64_t i = 0; i < n; i++) {
+        if (remap[i] == 0xFFFFFFFFu) continue;
+        const float* v = reinterpret_cast<const float*>(raw + i * 4);
+        for (int a = 0; a < 3; a++)
+            out[j * 3 + a] = (v[a] + ext_lo[a]) * spacing + reference[a];
+        j++;
+    }
+    return j;
+}
+
+// Pass B triangles: keep iff vertex a survives (all three share a clump);
+// emit 13-byte PLY records (count byte 3 + three u32 LE). Returns kept.
+int64_t mls_write_tris(const uint32_t* raw, int64_t m,
+                       const uint32_t* remap, uint8_t* out) {
+    int64_t j = 0;
+    for (int64_t t = 0; t < m; t++) {
+        uint32_t a = remap[raw[t * 3]];
+        if (a == 0xFFFFFFFFu) continue;
+        uint8_t* rec = out + j * 13;
+        rec[0] = 3;
+        uint32_t tri[3] = {a, remap[raw[t * 3 + 1]], remap[raw[t * 3 + 2]]};
+        std::memcpy(rec + 1, tri, 12);
+        j++;
+    }
+    return j;
+}
+
+// Count-only variant of pass B triangles (header sizing under pruning).
+int64_t mls_count_tris_kept(const uint32_t* raw, int64_t m,
+                            const uint32_t* remap) {
+    int64_t j = 0;
+    for (int64_t t = 0; t < m; t++)
+        if (remap[raw[t * 3]] != 0xFFFFFFFFu) j++;
+    return j;
+}
+
 }  // extern "C"

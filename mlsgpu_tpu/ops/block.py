@@ -285,6 +285,23 @@ def unpack_readback(flat: np.ndarray, num_indices: int, num_vertices: int,
     return verts, tris, ext_keys
 
 
+def unpack_readback_global(flat: np.ndarray, num_indices: int,
+                           num_vertices: int, first_external: int,
+                           fmt: PackFormat, cell_origin: np.ndarray):
+    """unpack_readback with the block->global cell-origin add folded in,
+    through the native C++ decoder when available (bitwise-identical)."""
+    from mlsgpu_tpu import _native as nat
+    out = nat.unpack_readback(flat, int(num_indices), int(num_vertices),
+                              int(first_external), fmt.index_mode,
+                              fmt.vertex_words,
+                              np.asarray(cell_origin, np.int64))
+    if out is not None:
+        return out
+    verts, tris, keys = unpack_readback(flat, num_indices, num_vertices,
+                                        first_external, fmt, cell_origin)
+    return verts + np.asarray(cell_origin, np.float32), tris, keys
+
+
 def block_step_body(splats: jnp.ndarray,
                     valid: jnp.ndarray,
                     region_cells: jnp.ndarray,

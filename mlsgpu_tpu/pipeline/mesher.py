@@ -132,13 +132,15 @@ class OOCMesher:
         if self._finalized:
             raise StateError("mesher already finalized")
         verts = np.asarray(block.vertices, dtype=np.float32)
-        tris = np.asarray(block.triangles, dtype=np.int64)
         n = len(verts)
         first_ext = block.first_external
         keys = np.asarray(block.ext_keys, dtype=np.int64)
         assert len(keys) == n - first_ext
         if n == 0:
             return
+        if self._add_native(block, verts, n, first_ext, keys):
+            return
+        tris = np.asarray(block.triangles, dtype=np.int64)
         if len(tris):
             # Fail loud on an internally inconsistent block: an out-of-range
             # triangle index would otherwise be undefined behaviour inside
@@ -242,6 +244,62 @@ class OOCMesher:
         # union-find arrays (allocated capacity), hash maps (~32B/entry at
         # 0.5 load), and segment bookkeeping. mem.spill covers the reorder
         # window; mem.blobs the blob arrays.
+        self._record_add_stats(n_new, m)
+
+    def _add_native(self, block: BlockInput, verts, n, first_ext,
+                    keys) -> bool:
+        """Fused C++ hot path for add() (_native.mesher_add): local UF,
+        clump registration/merge, chunk dedup/remap, and record packing in
+        one pass. Returns False when unavailable (caller runs the numpy
+        path). Output meshes are identical either way; only internal clump
+        id numbering may differ."""
+        from mlsgpu_tpu import _native as nat
+        rec = self.chunks.get(block.chunk_id.coords)
+        fresh_rec = rec is None
+        if fresh_rec:
+            rec = _ChunkRecord(block.chunk_id)
+        if rec.key_index._h is None or self.key_clump._h is None:
+            return False
+        t_nat = self._stats.timer("mesher.native")
+        t_nat.__enter__()
+        self.clumps.reserve(n)
+        try:
+            out = nat.mesher_add(verts, block.triangles, first_ext, keys,
+                                 self.clumps, len(self.clumps),
+                                 self.key_clump, rec.key_index,
+                                 rec.num_vertices)
+        except ValueError:
+            raise StateError(
+                f"corrupt block mesh for chunk {block.chunk_id}: "
+                f"triangle index outside [0, {n}) welded vertices")
+        finally:
+            t_nat.__exit__(None, None, None)
+        if out is None:
+            return False
+        n_new, vrec, trec, nstats = out
+        self.clumps.commit(int(nstats[0]))
+        self._key_entries += int(nstats[1])
+        self._chunk_key_entries += int(nstats[2])
+        if fresh_rec:
+            self.chunks[block.chunk_id.coords] = rec
+
+        t_sp = self._stats.timer("mesher.spill")
+        t_sp.__enter__()
+        off = self._verts.append(vrec)
+        rec.vert_segments.append((off, n_new))
+        self._nsegs += 1
+        rec.num_vertices += n_new
+        m = len(trec)
+        if m:
+            toff = self._tris.append(trec)
+            rec.tri_segments.append((toff, m))
+            self._nsegs += 1
+            rec.num_triangles += m
+        t_sp.__exit__()
+        self._record_add_stats(n_new, m)
+        return True
+
+    def _record_add_stats(self, n_new: int, m: int) -> None:
         self._stats.peak("mem.mesherClumps").set(
             self.clumps._parent.nbytes + self.clumps._size.nbytes
             + self.clumps._nv.nbytes + self.clumps._nt.nbytes)
@@ -330,9 +388,12 @@ class OOCMesher:
         temp-file readers + AsyncWriter double-buffering). Two passes: one
         over the clump lanes to size the output and build per-record vertex
         remaps, one over the data, written through a background writer."""
+        from mlsgpu_tpu import _native as nat
         from mlsgpu_tpu.io.async_io import AsyncWriter
-        pruned_arr = (np.fromiter(pruned, dtype=np.int64, count=len(pruned))
+        pruned_arr = (np.sort(np.fromiter(pruned, dtype=np.int64,
+                                          count=len(pruned)))
                       if pruned else None)
+        use_native = nat.available()
 
         def keep_mask(clumps_u32):
             if pruned_arr is None:
@@ -351,6 +412,13 @@ class OOCMesher:
             for pos, raw in self._iter_segments(rec.vert_segments, self._verts,
                                                 self.VREC, 4,
                                                 self.STREAM_RECORDS):
+                out = (nat.write_pass_a(raw, self.clumps._parent, pruned_arr,
+                                        nv_total) if use_native else None)
+                if out is not None:
+                    kept, rm = out
+                    remap[pos:pos + len(raw)] = rm
+                    nv_total += kept
+                    continue
                 keep = keep_mask(raw[:, 3])
                 ids = nv_total + np.cumsum(keep, dtype=np.int64) - 1
                 remap[pos:pos + len(raw)][keep] = ids[keep].astype(np.uint32)
@@ -360,7 +428,11 @@ class OOCMesher:
                 for pos, raw in self._iter_segments(rec.tri_segments,
                                                     self._tris, self.TREC, 3,
                                                     self.STREAM_RECORDS):
-                    nt_total += int((remap[raw[:, 0]] != 0xFFFFFFFF).sum())
+                    cnt = (nat.count_tris_kept(raw, remap)
+                           if use_native else None)
+                    if cnt is None:
+                        cnt = int((remap[raw[:, 0]] != 0xFFFFFFFF).sum())
+                    nt_total += cnt
             else:
                 nt_total += rec.num_triangles
 
@@ -391,26 +463,38 @@ class OOCMesher:
                 for pos, raw in self._iter_segments(
                         rec.vert_segments, self._verts, self.VREC, 4,
                         self.STREAM_RECORDS):
-                    keep = remap[pos:pos + len(raw)] != 0xFFFFFFFF
-                    verts = raw[keep, 0:3].view(np.float32)
-                    world = np.ascontiguousarray(
-                        (verts + ext_lo) * spacing + reference, dtype="<f4")
+                    world = (nat.write_verts(raw, remap[pos:pos + len(raw)],
+                                             ext_lo, spacing, reference)
+                             if use_native else None)
+                    if world is None:
+                        keep = remap[pos:pos + len(raw)] != 0xFFFFFFFF
+                        verts = raw[keep, 0:3].view(np.float32)
+                        world = np.ascontiguousarray(
+                            (verts + ext_lo) * spacing + reference,
+                            dtype="<f4")
                     push(writer.vertex_byte_offset(vpos), world.tobytes())
                     vpos += len(world)
                 for pos, raw in self._iter_segments(
                         rec.tri_segments, self._tris, self.TREC, 3,
                         self.STREAM_RECORDS):
-                    keep = remap[raw[:, 0]] != 0xFFFFFFFF
-                    tris = remap[raw[keep].astype(np.int64)]
-                    trec = np.empty((len(tris), PlyWriter.TRIANGLE_SIZE),
-                                    dtype=np.uint8)
-                    trec[:, 0] = 3
-                    trec[:, 1:] = (tris.astype("<u4").view(np.uint8)
-                                   .reshape(len(tris), 12))
-                    push(writer.triangle_byte_offset(tpos), trec.tobytes())
-                    tpos += len(tris)
+                    payload = (nat.write_tris(raw, remap)
+                               if use_native else None)
+                    if payload is not None:
+                        ntk = len(payload) // PlyWriter.TRIANGLE_SIZE
+                    else:
+                        keep = remap[raw[:, 0]] != 0xFFFFFFFF
+                        tris = remap[raw[keep].astype(np.int64)]
+                        trec = np.empty((len(tris), PlyWriter.TRIANGLE_SIZE),
+                                        dtype=np.uint8)
+                        trec[:, 0] = 3
+                        trec[:, 1:] = (tris.astype("<u4").view(np.uint8)
+                                       .reshape(len(tris), 12))
+                        payload = trec.tobytes()
+                        ntk = len(tris)
+                    push(writer.triangle_byte_offset(tpos), payload)
+                    tpos += ntk
                     if progress is not None:
-                        progress += len(tris)
+                        progress += ntk
         finally:
             aw.stop()
             writer.close()

@@ -228,14 +228,13 @@ def block_result_to_input(result: BlockResult, bucket: bucket_mod.Bucket
             # Single quantized transfer (ops/block._pack_readback layout);
             # weld keys are reconstructed from the vertex encoding, so no
             # key region travels at all.
-            from mlsgpu_tpu.ops.block import unpack_readback
+            from mlsgpu_tpu.ops.block import unpack_readback_global
             with stats.timer("readback.wait"):
                 flat = np.asarray(result.packed)
             with stats.timer("readback.decode"):
-                verts, tris, keys = unpack_readback(
+                verts, tris, keys = unpack_readback_global(
                     flat, ni, nv, fe, result.pack_fmt,
                     bucket.cell_lo.astype(np.int64))
-            verts = verts + bucket.cell_lo.astype(np.float32)
             return BlockInput(chunk_id=bucket.chunk_id, vertices=verts,
                               first_external=fe, ext_keys=keys,
                               triangles=tris)

@@ -66,6 +66,20 @@ class UnionFind:
         news[:n] = self._size[:n]
         self._size = news
 
+    def reserve(self, count: int) -> None:
+        """Grow capacity for `count` more nodes without committing them
+        (a native batch fills the raw buffers, then commit()s)."""
+        need = self._n + count
+        if need > len(self._parent):
+            self._grow_buffers(max(need, 2 * len(self._parent), 64), self._n)
+
+    def commit(self, count: int) -> int:
+        """Commit `count` reserved nodes already initialized in the raw
+        buffers; returns the index of the first."""
+        start = self._n
+        self._n += count
+        return start
+
     def add(self, count: int = 1) -> int:
         """Append new singleton elements; returns index of the first new one."""
         start = self._n
