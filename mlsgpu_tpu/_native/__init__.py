@@ -88,6 +88,12 @@ def get_lib():
             _I64, _I64, _I64, _I64, _I64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             _U32, _U32, _I64]
+        lib.mls_rebuild_block.restype = ctypes.c_int64
+        lib.mls_rebuild_block.argtypes = [
+            _U32, _U8, ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            _I64, _I64, _I32, ctypes.c_int64, _I32, ctypes.c_int64,
+            _I32, _I32, _I32, _F32, _I32, _I64, _I64]
         lib.mls_write_pass_a.restype = ctypes.c_int64
         lib.mls_write_pass_a.argtypes = [
             _U32, ctypes.c_int64, _I64, _I64, ctypes.c_int64,
@@ -278,6 +284,49 @@ def blob_rle(chunk: np.ndarray, first_id: int, inv_spacing: float,
 
 
 _INDEX_MODES = {"u16": 0, "u21x3": 1, "u32": 2}
+
+
+def rebuild_block(flat: np.ndarray, num_cells: int, num_unwelded: int,
+                  num_indices: int, nc_axis: int, cell_origin: np.ndarray,
+                  region_cells: np.ndarray):
+    """Rebuild + weld a block mesh from the codes-mode readback buffer
+    (layout [cells u32 | codes u8 | t16 u16], ops/block._pack_codes).
+    Returns (verts (nw,3) f32 GLOBAL grid coords, tris (ni/3,3) i32,
+    ext_keys (nw-fe,) i64, first_external) or None when the library is
+    unavailable. Raises ValueError on a corrupt buffer."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from mlsgpu_tpu.ops import tables
+    flat = np.ascontiguousarray(flat, dtype=np.uint32)
+    nc, nuw, ni = int(num_cells), int(num_unwelded), int(num_indices)
+    cells = flat[:nc]
+    codes = flat.view(np.uint8)[4 * nc: 4 * nc + nc]
+    w2 = nc + (nc + 3) // 4
+    t16 = flat.view(np.uint16)[2 * w2: 2 * w2 + nuw]
+    cell_origin = np.ascontiguousarray(cell_origin, dtype=np.int64)
+    region_cells = np.ascontiguousarray(region_cells, dtype=np.int64)
+    verts = np.empty((max(nuw, 1), 3), np.float32)
+    tris = np.empty(max(ni, 3), np.int32)
+    keys = np.empty(max(nuw, 1), np.int64)
+    counts = np.zeros(2, np.int64)
+    tabs = [np.ascontiguousarray(t, np.int32) for t in
+            (tables.VERT_TABLE, tables.INDEX_TABLE, tables.EDGES,
+             tables.EDGE_KEY, tables.COUNT_TABLE)]
+    nw = lib.mls_rebuild_block(
+        _ptr(cells, _U32), _ptr(codes, _U8),
+        t16.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        nc, nuw, ni, nc_axis, _ptr(cell_origin, _I64),
+        _ptr(region_cells, _I64),
+        _ptr(tabs[0], _I32), tables.MAX_CELL_VERTICES,
+        _ptr(tabs[1], _I32), tables.MAX_CELL_INDICES,
+        _ptr(tabs[2], _I32), _ptr(tabs[3], _I32), _ptr(tabs[4], _I32),
+        _ptr(verts, _F32), _ptr(tris, _I32), _ptr(keys, _I64),
+        _ptr(counts, _I64))
+    if nw < 0:
+        raise ValueError("corrupt codes readback buffer")
+    fe = int(counts[1])
+    return (verts[:nw], tris[:ni].reshape(-1, 3), keys[:nw - fe], fe)
 
 
 def unpack_readback(flat: np.ndarray, ni: int, nv: int, fe: int,

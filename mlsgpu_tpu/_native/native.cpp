@@ -514,6 +514,151 @@ int64_t mls_mesher_add(const float* verts, int64_t n,
     return n_new;
 }
 
+// ------------------------------------------------------------ block rebuild
+// Host-side rebuild of a welded block mesh from the codes-mode readback
+// (ops/marching.py BlockCodes): per occupied cell a flat id + case code,
+// per emitted vertex a 16-bit interpolant. Replays the device's output-
+// driven emission (same tables, same order), computes vertex keys and
+// positions exactly as the packed-readback decode does (base + {0,t,1-t}
+// + origin, t = t16/65535), and welds by key with first-occurrence order
+// (internals compacted before externals). This replaces the reference's
+// on-device weld + index remap (kernels/marching.cl:271-345) when the
+// device ships codes instead of a mesh.
+//
+// Returns n_welded, or -1 when the emission replay disagrees with the
+// device totals (corrupt readback).
+struct RebuildMap {
+    std::vector<uint64_t> keys;
+    std::vector<int32_t> vals;
+    uint64_t mask;
+};
+
+static inline uint64_t rb_hash(uint64_t x) {
+    x ^= x >> 33; x *= 0xff51afd7ed558ccdULL;
+    x ^= x >> 33; x *= 0xc4ceb9fe1a85ec53ULL;
+    x ^= x >> 33;
+    return x;
+}
+
+int64_t mls_rebuild_block(
+    const uint32_t* cells, const uint8_t* codes, const uint16_t* t16,
+    int64_t num_cells, int64_t num_unwelded, int64_t num_indices,
+    int64_t nc_axis, const int64_t* cell_origin,
+    const int64_t* region_cells,
+    const int32_t* vert_tab, int64_t mv,
+    const int32_t* index_tab, int64_t mi,
+    const int32_t* edges, const int32_t* edge_key,
+    const int32_t* count_tab,
+    float* out_verts, int32_t* out_tris, int64_t* out_keys,
+    int64_t* out_counts) {
+    // weld hash map: key -> wid (first-occurrence order)
+    uint64_t cap = 64;
+    while (cap < (uint64_t)num_unwelded * 2 + 2) cap <<= 1;
+    std::vector<uint64_t> hkeys(cap, ~0ULL);
+    std::vector<int32_t> hvals(cap);
+    uint64_t mask = cap - 1;
+
+    std::vector<int32_t> slot_wid((size_t)num_unwelded);
+    // per-wid data (worst case one per slot)
+    std::vector<float> wpos((size_t)num_unwelded * 3);
+    std::vector<int64_t> wkey63((size_t)num_unwelded);
+    std::vector<uint8_t> wext((size_t)num_unwelded);
+
+    const float org_f[3] = {(float)cell_origin[0], (float)cell_origin[1],
+                            (float)cell_origin[2]};
+    int64_t slot = 0;
+    int32_t n_wid = 0;
+    for (int64_t i = 0; i < num_cells; i++) {
+        uint32_t cid = cells[i];
+        int code = codes[i];
+        int64_t cx = cid % nc_axis;
+        int64_t cy = (cid / nc_axis) % nc_axis;
+        int64_t cz = cid / (nc_axis * nc_axis);
+        // Occupied cells are region-masked on device; a decode outside the
+        // region means the cell-id stride (nc_axis) disagrees with the
+        // producing program — fail loudly instead of welding garbage.
+        if (cx >= region_cells[0] || cy >= region_cells[1]
+            || cz >= region_cells[2]) return -1;
+        int cnv = count_tab[code * 2];
+        for (int j = 0; j < cnv; j++, slot++) {
+            if (slot >= num_unwelded) return -1;
+            int e = vert_tab[code * mv + j];
+            if (e < 0) return -1;
+            int c0 = edges[e * 2], c1 = edges[e * 2 + 1];
+            int64_t kl[3], kg[3];
+            bool ext = false;
+            const int64_t cc[3] = {cx, cy, cz};
+            for (int a = 0; a < 3; a++) {
+                kl[a] = 2 * cc[a] + edge_key[e * 3 + a];
+                if (kl[a] == 0 || kl[a] == 2 * region_cells[a]) ext = true;
+                kg[a] = kl[a] + 2 * cell_origin[a];
+            }
+            uint64_t wk = ((uint64_t)(ext ? 1 : 0) << 63)
+                | ((uint64_t)kg[2] << 42) | ((uint64_t)kg[1] << 21)
+                | (uint64_t)kg[0];
+            uint64_t s = rb_hash(wk) & mask;
+            int32_t wid;
+            while (true) {
+                if (hkeys[s] == wk) { wid = hvals[s]; break; }
+                if (hkeys[s] == ~0ULL) {
+                    hkeys[s] = wk;
+                    wid = hvals[s] = n_wid++;
+                    // first occurrence: compute position + 63-bit key
+                    float t = (float)t16[slot] / 65535.0f;
+                    for (int a = 0; a < 3; a++) {
+                        int o0 = (c0 >> a) & 1, o1 = (c1 >> a) & 1;
+                        float frac = (o0 == o1) ? 0.0f
+                            : (o0 == 0 ? t : 1.0f - t);
+                        wpos[(size_t)wid * 3 + a] =
+                            ((float)(kl[a] >> 1) + frac) + org_f[a];
+                    }
+                    wkey63[(size_t)wid] = kg[0] | (kg[1] << 21)
+                        | (kg[2] << 42);
+                    wext[(size_t)wid] = ext ? 1 : 0;
+                    break;
+                }
+                s = (s + 1) & mask;
+            }
+            slot_wid[(size_t)slot] = wid;
+        }
+    }
+    if (slot != num_unwelded) return -1;
+
+    // final ids: internals first (stable within class)
+    std::vector<int32_t> fid((size_t)n_wid);
+    int32_t n_int = 0;
+    for (int32_t w = 0; w < n_wid; w++) if (!wext[(size_t)w]) n_int++;
+    int32_t ipos = 0, epos = n_int;
+    for (int32_t w = 0; w < n_wid; w++)
+        fid[(size_t)w] = wext[(size_t)w] ? epos++ : ipos++;
+    for (int32_t w = 0; w < n_wid; w++) {
+        int32_t f = fid[(size_t)w];
+        std::memcpy(out_verts + (size_t)f * 3, wpos.data() + (size_t)w * 3,
+                    12);
+        if (wext[(size_t)w]) out_keys[f - n_int] = wkey63[(size_t)w];
+    }
+
+    // triangles: replay the per-cell index tables
+    int64_t tpos = 0, vbase = 0;
+    for (int64_t i = 0; i < num_cells; i++) {
+        int code = codes[i];
+        int cni = count_tab[code * 2 + 1];
+        for (int k = 0; k < cni; k++, tpos++) {
+            if (tpos >= num_indices) return -1;
+            int lv = index_tab[code * mi + k];
+            if (lv < 0) return -1;
+            out_tris[tpos] =
+                fid[(size_t)slot_wid[(size_t)(vbase + lv)]];
+        }
+        vbase += count_tab[code * 2];
+    }
+    if (tpos != num_indices) return -1;
+
+    out_counts[0] = n_wid;
+    out_counts[1] = n_int;
+    return n_wid;
+}
+
 // ------------------------------------------------------------- final write
 // Native passes of OOCMesher._write_chunk (pipeline/mesher.py; the
 // reference's final write loop, src/mesher.cpp:763-852).

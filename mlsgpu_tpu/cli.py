@@ -71,6 +71,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output IO backend (reference --writer)")
     a.add_argument("--mls-backend", choices=["auto", "xla", "pallas"],
                    default="auto", help="MLS kernel implementation")
+    a.add_argument("--readback", choices=["auto", "codes", "packed", "raw"],
+                   default="auto",
+                   help="device->host mesh readback format: codes = per-"
+                        "cell case codes + interpolants, host rebuilds the "
+                        "welded mesh natively (fastest); packed = quantized "
+                        "welded mesh; raw = full arrays [auto]")
     a.add_argument("--mem-reorder", type=parse_capacity, default=d.mem_reorder,
                    help="mesher reorder-window byte budget before spilling "
                         "to disk [%(default)s]")
@@ -146,6 +152,7 @@ def config_from_args(args) -> ReconstructConfig:
         scatter=args.scatter,
         output_split_size=args.split_size,
         mls_backend=args.mls_backend,
+        readback=args.readback,
         mem_reorder=args.mem_reorder,
         mem_load_splats=args.mem_load_splats,
         mem_host_splats=args.mem_host_splats,

@@ -69,6 +69,7 @@ class ReconstructConfig:
 
     # --- pipeline ---
     mls_backend: str = "auto"        # 'auto' | 'xla' | 'pallas'
+    readback: str = "auto"           # 'auto' | 'codes' | 'packed' | 'raw'
     device_threads: int = 1
     output_split_size: int = 0       # bytes; 0 = single output file
     checkpoint: Optional[str] = None

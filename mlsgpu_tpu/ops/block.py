@@ -132,6 +132,40 @@ class PackFormat(NamedTuple):
         return (self.index_words(num_indices)
                 + self.vertex_region_words(num_vertices))
 
+    def live_words(self, counts) -> int:
+        # counts layout = COUNTS_FIELDS: [0]=num_vertices, [2]=num_indices
+        return self.total_words(int(counts[2]), int(counts[0]))
+
+
+class CodesFormat(NamedTuple):
+    """Static layout of the codes-mode readback image: one flat u32 buffer
+    `[cells u32 | case codes u8 (4/word) | t16 u16 (2/word)]`, live-prefix
+    sized. The host rebuilds the welded mesh natively from it
+    (_native.mls_rebuild_block); the device never materializes vertices,
+    keys, triangle indices, or the weld. nc_axis (cells per axis of the
+    block's dense volume) is carried so the host can decode flat cell ids."""
+    nc_axis: int
+
+    def total_words(self, num_cells: int, num_unwelded: int) -> int:
+        return (num_cells + (num_cells + 3) // 4
+                + (num_unwelded + 1) // 2)
+
+    def live_words(self, counts) -> int:
+        # counts layout = COUNTS_FIELDS: [4]=num_cells, [5]=num_unwelded
+        return self.total_words(int(counts[4]), int(counts[5]))
+
+
+def codes_format(levels: int, subsampling: int) -> Optional[CodesFormat]:
+    """Codes layout for a block size, or None when flat cell ids would not
+    fit u32 (needs > 2^10 cells/axis — beyond the supported block bound
+    anyway, see config.validate). The block field has 2^max_shift CORNERS
+    (ops/mls eval over tiles_per_axis*8 corners), so the cell-id stride is
+    2^max_shift - 1 cells per axis."""
+    nc_axis = (1 << (levels + subsampling - 1)) - 1
+    if nc_axis + 1 > 1 << 10:
+        return None
+    return CodesFormat(nc_axis=nc_axis)
+
 
 def pack_format(levels: int, subsampling: int,
                 vertex_cap: int) -> Optional[PackFormat]:
@@ -285,6 +319,34 @@ def unpack_readback(flat: np.ndarray, num_indices: int, num_vertices: int,
     return verts, tris, ext_keys
 
 
+def _pack_codes(codes_mesh, cell_cap: int, vertex_cap: int) -> jnp.ndarray:
+    """Compact the codes-mode marching output into one flat u32 buffer
+    (CodesFormat layout). Same slop-safe dynamic_update_slice ordering as
+    _pack_readback: each region is written at the end of the previous
+    region's live prefix, so static-size slop only overwrites dead tail."""
+    nc_l = jnp.minimum(codes_mesh.num_cells, cell_cap).astype(jnp.int32)
+    pad4 = (-cell_cap) % 4
+    c8 = codes_mesh.cell_codes.astype(jnp.uint8)
+    if pad4:
+        c8 = jnp.concatenate([c8, jnp.zeros(pad4, jnp.uint8)])
+    code_words = jax.lax.bitcast_convert_type(c8.reshape(-1, 4), jnp.uint32)
+    pad2 = vertex_cap % 2
+    t16 = codes_mesh.t16.astype(jnp.uint16)
+    if pad2:
+        t16 = jnp.concatenate([t16, jnp.zeros(pad2, jnp.uint16)])
+    t_words = _u16_pairs_to_u32(t16)
+
+    fmt = CodesFormat(nc_axis=0)  # total_words only
+    buf = jnp.zeros(fmt.total_words(cell_cap, vertex_cap + pad2) + pad4 // 4,
+                    jnp.uint32)
+    buf = jax.lax.dynamic_update_slice(buf, codes_mesh.cell_ids, (0,))
+    off1 = nc_l
+    buf = jax.lax.dynamic_update_slice(buf, code_words, (off1,))
+    off2 = off1 + (nc_l + 3) // 4
+    buf = jax.lax.dynamic_update_slice(buf, t_words, (off2,))
+    return buf
+
+
 def unpack_readback_global(flat: np.ndarray, num_indices: int,
                            num_vertices: int, first_external: int,
                            fmt: PackFormat, cell_origin: np.ndarray):
@@ -322,7 +384,8 @@ def block_step_body(splats: jnp.ndarray,
                     occ_tile_cap: int = 0,
                     march_tile_cap: int = 0,
                     device_filter=None,
-                    canonical_faces: bool = True) -> BlockResult:
+                    canonical_faces: bool = True,
+                    readback: str = None) -> BlockResult:
     """Reconstruct one block (un-jitted body; see block_step).
 
     Args:
@@ -377,6 +440,35 @@ def block_step_body(splats: jnp.ndarray,
                 cell_origin, points, tiles_per_axis, max_candidates,
                 fit_shape, boundary_factor)
 
+    if readback is None:
+        readback = "packed" if pack_output else "raw"
+    if readback == "codes" and device_filter is None:
+        # Codes mode: no device weld, no index emission, no key packing —
+        # the host rebuilds natively (_native.mls_rebuild_block).
+        cmesh = marching.generate(field, region_cells, cell_origin,
+                                  cell_cap, vertex_cap, index_cap,
+                                  tile_cap=march_tile_cap, emit="codes")
+        packed = _pack_codes(cmesh, cell_cap, vertex_cap)
+        counts = jnp.stack([
+            jnp.asarray(v, jnp.int32).reshape(()) for v in (
+                cmesh.num_vertices,            # unwelded (welded unknown)
+                0,                             # first_external: host-side
+                cmesh.num_indices,
+                max_total, cmesh.num_cells, cmesh.num_vertices,
+                n_occ, cmesh.num_tiles)])
+        return BlockResult(
+            vertices=None, key_hi=None, key_lo=None, triangles=None,
+            num_vertices=cmesh.num_vertices,
+            first_external=jnp.int32(0),
+            num_indices=cmesh.num_indices,
+            max_tile_candidates=max_total,
+            num_cells=cmesh.num_cells,
+            num_unwelded=cmesh.num_vertices,
+            num_occ_tiles=n_occ,
+            num_march_tiles=cmesh.num_tiles,
+            packed=packed,
+            counts=counts)
+
     mesh = marching.generate(field, region_cells, cell_origin,
                              cell_cap, vertex_cap, index_cap,
                              tile_cap=march_tile_cap)
@@ -424,7 +516,7 @@ block_step = functools.partial(
                      "max_candidates", "cell_cap", "vertex_cap", "index_cap",
                      "fit_shape", "tile_chunk", "mls_backend", "pack_output",
                      "occ_tile_cap", "march_tile_cap", "device_filter",
-                     "canonical_faces"),
+                     "canonical_faces", "readback"),
 )(block_step_body)
 block_step.__doc__ = "Jitted block_step_body (one compile per static config)."
 
@@ -435,7 +527,8 @@ def block_step_staged(splats, valid, region_cells, cell_origin,
                       fit_shape="sphere", tile_chunk=32, mls_backend="xla",
                       pack_output=False, occ_tile_cap=0, march_tile_cap=0,
                       device_filter=None,
-                      canonical_faces=True, registry=None) -> BlockResult:
+                      canonical_faces=True, registry=None,
+                      readback=None) -> BlockResult:
     """`block_step` split into separately-jitted, individually-timed stages.
 
     The TPU analogue of the reference's per-kernel event timing
@@ -495,6 +588,24 @@ def block_step_staged(splats, valid, region_cells, cell_origin,
                 binned.entry_vals, starts, lens, cell_origin, points,
                 tiles_per_axis, max_candidates, fit_shape,
                 jnp.float32(boundary_factor))
+    if readback is None:
+        readback = "packed" if pack_output else "raw"
+    if readback == "codes" and device_filter is None:
+        cmesh = timed("marching", _jit_marching_codes, field, region_cells,
+                      cell_origin, cell_cap, vertex_cap, index_cap,
+                      march_tile_cap)
+        packed = timed("pack", _jit_pack_codes, cmesh, cell_cap, vertex_cap)
+        counts = jax.jit(lambda cm, mt, no: jnp.stack(
+            [jnp.asarray(v, jnp.int32).reshape(()) for v in (
+                cm.num_vertices, 0, cm.num_indices, mt, cm.num_cells,
+                cm.num_vertices, no, cm.num_tiles)]))(cmesh, max_total, n_occ)
+        return BlockResult(
+            vertices=None, key_hi=None, key_lo=None, triangles=None,
+            num_vertices=cmesh.num_vertices, first_external=jnp.int32(0),
+            num_indices=cmesh.num_indices, max_tile_candidates=max_total,
+            num_cells=cmesh.num_cells, num_unwelded=cmesh.num_vertices,
+            num_occ_tiles=n_occ, num_march_tiles=cmesh.num_tiles,
+            packed=packed, counts=counts)
     mesh = timed("marching", _jit_marching, field, region_cells, cell_origin,
                  cell_cap, vertex_cap, index_cap, march_tile_cap)
     welded = timed("weld", _jit_weld, mesh.vertices, mesh.key_hi, mesh.key_lo,
@@ -535,9 +646,27 @@ _jit_skeleton_field = functools.partial(
         mls.skeleton_point_field(f, e, v, s, l, o, p, tpa, K, shape, bf))
 _jit_marching = functools.partial(
     jax.jit, static_argnums=(3, 4, 5, 6))(marching.generate)
+_jit_marching_codes = functools.partial(
+    jax.jit, static_argnums=(3, 4, 5, 6))(
+        lambda f, r, o, cc, vc, ic, tc: marching.generate(
+            f, r, o, cc, vc, ic, tile_cap=tc, emit="codes"))
 _jit_weld = jax.jit(weld.weld)
 _jit_pack = functools.partial(
     jax.jit, static_argnums=(2, 3, 4))(_pack_readback)
+_jit_pack_codes = functools.partial(
+    jax.jit, static_argnums=(1, 2))(_pack_codes)
+
+
+def resolve_readback(requested: str, levels: int, subsampling: int) -> str:
+    """'auto' -> 'codes' when the native host rebuild is available and the
+    block size fits flat u32 cell ids (fastest: no device weld/index
+    emission, smallest transfer); else the quantized 'packed' layout."""
+    if requested and requested != "auto":
+        return requested
+    from mlsgpu_tpu import _native as nat
+    if nat.available() and codes_format(levels, subsampling) is not None:
+        return "codes"
+    return "packed"
 
 
 def resolve_mls_backend(requested: str = "auto") -> str:

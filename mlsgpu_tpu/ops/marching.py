@@ -66,6 +66,23 @@ class BlockMesh(NamedTuple):
     num_tiles: jnp.ndarray = None
 
 
+class BlockCodes(NamedTuple):
+    """Codes-mode marching output: the minimal description the host needs
+    to rebuild the welded block mesh natively (pipeline/reconstruct +
+    _native.mls_rebuild_block). The device never materializes vertices,
+    keys, indices, or the weld — the analogue of shipping the reference's
+    compacted cell array + per-edge interpolants instead of its welded
+    DeviceKeyMesh (src/marching.cpp:553-743 collapsed to the host side)."""
+    cell_ids: jnp.ndarray   # (cell_cap,) uint32 flat occupied cell id
+    cell_codes: jnp.ndarray  # (cell_cap,) uint32 (8-bit case code values)
+    t16: jnp.ndarray        # (vertex_cap,) uint32 (16-bit interpolants,
+    #                         emission order = v_start[cell] + j)
+    num_cells: jnp.ndarray
+    num_vertices: jnp.ndarray  # unwelded emission count
+    num_indices: jnp.ndarray
+    num_tiles: jnp.ndarray = None
+
+
 def _slot_to_producer(starts: jnp.ndarray, valid: jnp.ndarray,
                       num_slots: int) -> jnp.ndarray:
     """Map each output slot to the producer index whose [start, next-start)
@@ -288,7 +305,8 @@ def generate(field: jnp.ndarray,
              cell_cap: int,
              vertex_cap: int,
              index_cap: int,
-             tile_cap: int = 0) -> BlockMesh:
+             tile_cap: int = 0,
+             emit: str = "mesh"):
     """Run marching tetrahedra on a (B, B, B) corner field (indexed [z,y,x]).
 
     Args:
@@ -300,6 +318,10 @@ def generate(field: jnp.ndarray,
       tile_cap: > 0 compacts classification to that many candidate 8^3
         tiles (bitwise-identical to the dense path when they fit; overflow
         reported via num_tiles). 0 = dense classification.
+      emit: "mesh" = full device mesh + keys (welded downstream by
+        ops/weld); "codes" = BlockCodes only (per-cell case codes + per-
+        vertex t16; the host rebuilds and welds natively) — no device
+        vertex positions, keys, indices, or weld, and index_cap is unused.
     """
     assert index_cap % 3 == 0
     # Producer bases ride f32 lanes of occ_row (exact only to 2^24); caps
@@ -332,6 +354,49 @@ def generate(field: jnp.ndarray,
     num_indices = true_ni
 
     offs = jnp.asarray(_CORNER_OFFS)
+
+    if emit == "codes":
+        nc = field.shape[0] - 1
+        flat_cell = (ocz * (nc * nc) + ocy * nc + ocx).astype(jnp.uint32)
+        cell_ids = jnp.where(occ_valid, flat_cell, jnp.uint32(0))
+        cell_codes = jnp.where(occ_valid, occ_code, 0).astype(jnp.uint32)
+
+        # One contiguous 16-wide row gather per vertex slot (same trick as
+        # the mesh path: independent random gathers are the dominant cost).
+        slim_row = jnp.concatenate([
+            occ_iso,                                      # 0:8 corner isos
+            occ_code[:, None].astype(jnp.float32),        # 8   case code
+            v_start[:, None].astype(jnp.float32),         # 9   vertex base
+            jnp.zeros((occ_iso.shape[0], 6), jnp.float32),
+        ], axis=1)                                        # (cell_cap, 16)
+
+        vert_tab_c = jnp.asarray(tables.VERT_TABLE)
+        edges_c = jnp.asarray(tables.EDGES)
+        vslots_c = jnp.arange(vertex_cap, dtype=jnp.int32)
+        vprod_c = _slot_to_producer(v_start, occ_valid, vertex_cap)
+        vvalid_c = vslots_c < num_vertices
+        vrow_c = slim_row[vprod_c]                        # (vertex_cap, 16)
+        vcode_c = vrow_c[:, 8].astype(jnp.int32)
+        jj = jnp.clip(vslots_c - vrow_c[:, 9].astype(jnp.int32), 0,
+                      tables.MAX_CELL_VERTICES - 1)
+        vedge_cc = jnp.maximum(vert_tab_c[vcode_c, jj], 0)
+        viso_c = vrow_c[:, 0:8]
+        iso0_c = jnp.take_along_axis(
+            viso_c, edges_c[vedge_cc, 0][:, None], axis=1)[:, 0]
+        iso1_c = jnp.take_along_axis(
+            viso_c, edges_c[vedge_cc, 1][:, None], axis=1)[:, 0]
+        t_c = iso0_c / (iso0_c - iso1_c)
+        t16 = jnp.clip(jnp.round(t_c * 65535.0), 0, 65535).astype(jnp.uint32)
+        t16 = jnp.where(vvalid_c, t16, jnp.uint32(0))
+        return BlockCodes(
+            cell_ids=cell_ids,
+            cell_codes=cell_codes,
+            t16=t16,
+            num_cells=num_cells.astype(jnp.int32),
+            num_vertices=num_vertices.astype(jnp.int32),
+            num_indices=num_indices.astype(jnp.int32),
+            num_tiles=num_tiles.astype(jnp.int32),
+        )
 
     # Pack everything a downstream slot needs into one 16-wide f32 row: the
     # per-slot stages then do a single contiguous row-gather instead of ~7

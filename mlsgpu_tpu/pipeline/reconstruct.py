@@ -221,8 +221,27 @@ def block_result_to_input(result: BlockResult, bucket: bucket_mod.Bucket
         nv = int(result.num_vertices)
         ni = int(result.num_indices)
         fe = int(result.first_external)
+    from mlsgpu_tpu.ops.block import CodesFormat
     from mlsgpu_tpu.pipeline.streamer import PrefetchedResult
     with stats.timer("readback.mesh"):
+        if (getattr(result, "packed", None) is not None
+                and isinstance(getattr(result, "pack_fmt", None),
+                               CodesFormat)):
+            # Codes-mode readback: native rebuild + weld on the host
+            # (_native.mls_rebuild_block) from per-cell case codes and
+            # per-vertex interpolants — no device mesh ever existed.
+            from mlsgpu_tpu import _native as nat
+            with stats.timer("readback.wait"):
+                flat = np.asarray(result.packed)
+            with stats.timer("readback.decode"):
+                verts, tris, keys, fe = nat.rebuild_block(
+                    flat, result.num_cells, result.num_unwelded, ni,
+                    result.pack_fmt.nc_axis,
+                    bucket.cell_lo.astype(np.int64),
+                    (bucket.cell_hi - bucket.cell_lo).astype(np.int64))
+            return BlockInput(chunk_id=bucket.chunk_id, vertices=verts,
+                              first_external=fe, ext_keys=keys,
+                              triangles=tris)
         if (getattr(result, "packed", None) is not None
                 and getattr(result, "pack_fmt", None) is not None):
             # Single quantized transfer (ops/block._pack_readback layout);

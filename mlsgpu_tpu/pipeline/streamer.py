@@ -45,7 +45,8 @@ def _pick_devices(num: int) -> List:
 
 def _dispatch(padded, valid, bucket, cfg, caps, device,
               device_filter=None, points=None) -> BlockResult:
-    from mlsgpu_tpu.ops.block import block_step_staged, resolve_mls_backend
+    from mlsgpu_tpu.ops.block import (block_step_staged, resolve_mls_backend,
+                                      resolve_readback)
     args = dict(
         splats=jax.device_put(padded, device),
         valid=jax.device_put(valid, device),
@@ -69,7 +70,9 @@ def _dispatch(padded, valid, bucket, cfg, caps, device,
         pack_output=True,
         occ_tile_cap=caps.occ_tile_cap,
         march_tile_cap=caps.march_tile_cap,
-        device_filter=device_filter)
+        device_filter=device_filter,
+        readback=resolve_readback(getattr(cfg, "readback", "auto"),
+                                  cfg.levels, cfg.subsampling))
     # NOTE: do NOT copy_to_host_async the full packed buffer here — on this
     # platform d2h transfers do not overlap device compute, so an eager
     # full-cap transfer serializes the pipeline (measured 1.9x slower than
@@ -77,7 +80,8 @@ def _dispatch(padded, valid, bucket, cfg, caps, device,
     return result
 
 
-def _check_overflow(result: BlockResult, built, caps, counts=None) -> bool:
+def _check_overflow(result: BlockResult, built, caps, counts=None,
+                    check_index: bool = True) -> bool:
     """Detect overflow against `built` — the caps the result's program was
     BUILT with — and grow the run's shared `caps` for the retry; returns
     True when a retry is needed (forces the diagnostic scalars — the sync
@@ -109,7 +113,9 @@ def _check_overflow(result: BlockResult, built, caps, counts=None) -> bool:
     if nuw > built.vertex_cap:
         caps.vertex_cap = grow(caps.vertex_cap, nuw)
         retry = True
-    if ni > built.index_cap:
+    # codes-mode readbacks have no device index arrays: the host sizes its
+    # triangle rebuild from the true count, so index_cap never gates there.
+    if check_index and ni > built.index_cap:
         caps.index_cap = 3 * grow(caps.index_cap // 3, ni // 3 + 1)
         retry = True
     if built.occ_tile_cap and getattr(result, "num_occ_tiles", None) is not None:
@@ -150,6 +156,8 @@ class PrefetchedResult:
         self.num_vertices = int(counts[0])
         self.first_external = int(counts[1])
         self.num_indices = int(counts[2])
+        self.num_cells = int(counts[4])
+        self.num_unwelded = int(counts[5])
         self.pack_fmt = pack_fmt
 
         def prefix(arr, n):
@@ -165,7 +173,7 @@ class PrefetchedResult:
         nv = self.num_vertices
         self.packed = None
         if getattr(result, "packed", None) is not None and pack_fmt is not None:
-            total = pack_fmt.total_words(self.num_indices, nv)
+            total = pack_fmt.live_words(counts)
             self.packed = prefix(result.packed, total)
             return
         self.vertices = prefix(result.vertices, nv)
@@ -273,11 +281,21 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
                    // block_bytes)
     host_budget = max(2, int(getattr(cfg, "mem_host_splats", 1 << 62))
                       // block_bytes - q_budget)
-    from mlsgpu_tpu.ops.block import pack_format
-    fmt = pack_format(cfg.levels, cfg.subsampling, caps.vertex_cap)
-    mesh_bytes = 4 * (fmt.total_words(caps.index_cap, caps.vertex_cap)
-                      if fmt is not None
-                      else caps.index_cap + 5 * caps.vertex_cap)
+    from mlsgpu_tpu.ops.block import (codes_format, pack_format,
+                                      resolve_readback)
+    # A device filter transforms vertices off the cell-edge lattice, so
+    # neither quantized layout applies — raw arrays travel (as before).
+    rb_mode = ("raw" if device_filter is not None
+               else resolve_readback(getattr(cfg, "readback", "auto"),
+                                     cfg.levels, cfg.subsampling))
+    if rb_mode == "codes":
+        cfmt = codes_format(cfg.levels, cfg.subsampling)
+        mesh_bytes = 4 * cfmt.total_words(caps.cell_cap, caps.vertex_cap)
+    else:
+        fmt = pack_format(cfg.levels, cfg.subsampling, caps.vertex_cap)
+        mesh_bytes = 4 * (fmt.total_words(caps.index_cap, caps.vertex_cap)
+                          if fmt is not None
+                          else caps.index_cap + 5 * caps.vertex_cap)
     mesh_budget = max(1, int(getattr(cfg, "mem_mesh", 1 << 62)) // mesh_bytes)
     eff_window = min(window, host_budget, mesh_budget)
     if eff_window < window:
@@ -361,7 +379,8 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
         with timeplot.Action("compute", compute_worker,
                              stats.variable("device.time")):
             counts = fetch_counts(result)  # one d2h for all diagnostics
-            while _check_overflow(result, built, caps, counts=counts):
+            while _check_overflow(result, built, caps, counts=counts,
+                                  check_index=(rb_mode != "codes")):
                 stats.counter("device.capRetries").add(1)
                 log.info(f"block {b.chunk_id.gen}: cap overflow, retrying "
                          f"(K={caps.max_candidates}, cells={caps.cell_cap}, "
@@ -373,7 +392,10 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
         # The pack layout is the one the ACCEPTED result's program used —
         # built.vertex_cap, not the live caps (which may have grown past an
         # index-width threshold while this block was in flight).
-        fmt = pack_format(cfg.levels, cfg.subsampling, built.vertex_cap)
+        fmt = (cfmt if rb_mode == "codes"
+               else None if rb_mode == "raw"
+               else pack_format(cfg.levels, cfg.subsampling,
+                                built.vertex_cap))
         return b, PrefetchedResult(result, pack_fmt=fmt, counts=counts)
 
     try:

@@ -65,7 +65,12 @@ class ProceduralScanSource(SplatSource):
         j1 = (h & np.uint64(0x7FFFFFFF)).astype(np.float64) / 2**31 - 0.5
         h2 = (u * np.uint64(0xC2B2AE3D27D4EB4F)) >> np.uint64(33)
         j2 = (h2 & np.uint64(0x7FFFFFFF)).astype(np.float64) / 2**31 - 0.5
-        theta = (band + 0.5 + 0.9 * j1) / self._bands * np.pi
+        # Equal-AREA bands (uniform in cos theta): uniform surface density
+        # with scanline coherence. Uniform-in-theta banding oversamples the
+        # poles ~1/sin(theta), which blows the per-tile candidate cap (same
+        # fix as bench.py's cloud).
+        cos_t = 1.0 - 2.0 * (band + 0.5 + 0.9 * j1) / self._bands
+        theta = np.arccos(np.clip(cos_t, -1.0, 1.0))
         phi = (in_band + 0.5 + 0.9 * j2) / band_len * 2 * np.pi
         st, ct = np.sin(theta), np.cos(theta)
         v = np.stack([st * np.cos(phi), st * np.sin(phi), ct], axis=1)

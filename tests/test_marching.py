@@ -282,3 +282,96 @@ class TestTiledClassify:
             jnp.asarray(field), jnp.asarray((15, 15, 15), jnp.int32),
             jnp.asarray((0, 0, 0), jnp.int32), **CAPS)
         assert int(mesh.num_tiles) == 0
+
+
+class TestCodesReadback:
+    """Codes-mode emission + native host rebuild vs the device mesh+weld
+    path (the codes readback replaces the on-device weld of
+    kernels/marching.cl:271-345 with _native.mls_rebuild_block)."""
+
+    def _rebuild(self, field, origin=(0, 0, 0), region=None, caps=CAPS):
+        import jax
+        from mlsgpu_tpu import _native as nat
+        from mlsgpu_tpu.ops.block import _pack_codes
+        b = field.shape[0]
+        region = region if region is not None else (b - 1,) * 3
+        cmesh = marching.generate(
+            jnp.asarray(field), jnp.asarray(region, jnp.int32),
+            jnp.asarray(origin, jnp.int32), **caps, emit="codes")
+        flat = np.asarray(jax.jit(
+            _pack_codes, static_argnums=(1, 2))(
+                cmesh, caps["cell_cap"], caps["vertex_cap"]))
+        nc, nuw, ni = (int(cmesh.num_cells), int(cmesh.num_vertices),
+                       int(cmesh.num_indices))
+        out = nat.rebuild_block(flat, nc, nuw, ni, b - 1,
+                                np.asarray(origin, np.int64),
+                                np.asarray(region, np.int64))
+        assert out is not None
+        return out, (nc, nuw, ni)
+
+    def test_matches_device_weld(self):
+        from mlsgpu_tpu import _native as nat
+        if not nat.available():
+            pytest.skip("native library unavailable")
+        field = sphere_field(32, (15.5, 15.3, 15.8), 9.0)
+        origin = (64, 32, 0)
+        (verts, tris, ext_keys, fe), (nc, nuw, ni) = self._rebuild(
+            field, origin=origin)
+        mverts, mtris, mkeys, mfe = run_block(field, origin=origin)
+
+        # identical welded/external counts and triangle count
+        assert len(verts) == len(mverts)
+        assert fe == mfe
+        assert len(tris) == len(mtris) == ni // 3
+
+        # rebuild positions are GLOBAL; mesh-path verts are block-local
+        mverts_g = mverts + np.asarray(origin, np.float32)
+        # t16-quantized positions: match each rebuilt vertex to the nearest
+        # device vertex within the quantization tolerance
+        d = np.abs(verts[:, None, :] - mverts_g[None, :, :]).max(axis=2)
+        nearest = d.min(axis=1)
+        assert nearest.max() < 2e-4
+
+        # external 63-bit weld keys agree as SETS (order differs: the host
+        # rebuild uses first-occurrence order, the device weld key order)
+        mk63 = (((mkeys[fe:, 0].astype(np.int64) & 0x7FFFFFFF) << 32)
+                | mkeys[fe:, 1].astype(np.int64))
+        assert set(int(k) for k in ext_keys) == set(int(k) for k in mk63)
+
+        # the rebuilt mesh is the same closed manifold
+        rep = check_manifold(verts, tris)
+        assert rep.is_manifold, rep.reason
+        assert rep.num_boundary_edges == 0
+
+    def test_rebuild_deterministic(self):
+        from mlsgpu_tpu import _native as nat
+        if not nat.available():
+            pytest.skip("native library unavailable")
+        field = sphere_field(24, (11.5, 11.5, 11.5), 7.0)
+        a, _ = self._rebuild(field)
+        b, _ = self._rebuild(field)
+        np.testing.assert_array_equal(a[0].view(np.uint32),
+                                      b[0].view(np.uint32))
+        np.testing.assert_array_equal(a[1], b[1])
+        np.testing.assert_array_equal(a[2], b[2])
+        assert a[3] == b[3]
+
+    def test_corrupt_buffer_raises(self):
+        from mlsgpu_tpu import _native as nat
+        if not nat.available():
+            pytest.skip("native library unavailable")
+        field = sphere_field(16, (8, 8, 8), 5.0)
+        (_, _, _, _), (nc, nuw, ni) = self._rebuild(field)
+        with pytest.raises(ValueError):
+            # wrong unwelded count: emission replay must fail loudly
+            from mlsgpu_tpu.ops.block import _pack_codes
+            import jax
+            cmesh = marching.generate(
+                jnp.asarray(field), jnp.asarray((15, 15, 15), jnp.int32),
+                jnp.asarray((0, 0, 0), jnp.int32), **CAPS, emit="codes")
+            flat = np.asarray(jax.jit(
+                _pack_codes, static_argnums=(1, 2))(
+                    cmesh, CAPS["cell_cap"], CAPS["vertex_cap"]))
+            nat.rebuild_block(flat, nc, max(nuw - 5, 0), ni, 15,
+                              np.zeros(3, np.int64),
+                              np.asarray((15, 15, 15), np.int64))

@@ -192,3 +192,43 @@ def test_tiny_reorder_budget_spills_and_matches(tmp_path):
     assert len(v1) == len(v2) and len(t1) == len(t2)
     np.testing.assert_array_equal(np.sort(v1.view("u4").ravel()),
                                   np.sort(v2.view("u4").ravel()))
+
+
+@pytest.mark.slow
+class TestCodesReadbackE2E:
+    """--readback codes vs packed: same surface, deterministic reruns
+    (the codes path rebuilds + welds host-side, _native.mls_rebuild_block)."""
+
+    def test_codes_matches_packed_surface(self, tmp_path):
+        import mlsgpu_tpu._native as nat
+        if not nat.available():
+            pytest.skip("native library unavailable")
+        out_c = str(tmp_path / "codes.ply")
+        out_p = str(tmp_path / "packed.ply")
+        reconstruct(make_sphere_source(), small_config(readback="codes"),
+                    out_c)
+        reconstruct(make_sphere_source(), small_config(readback="packed"),
+                    out_p)
+        vc, tc = check_sphere_output(out_c, closed=True)
+        vp, tp = check_sphere_output(out_p, closed=True)
+        # same topology size; positions agree to the t16 quantum (vertex
+        # order differs — first-occurrence vs key order — so sample
+        # nearest-neighbor distances rather than pairing by sort order,
+        # which swaps nearby vertices between the two meshes)
+        assert len(vc) == len(vp) and len(tc) == len(tp)
+        idx = np.random.default_rng(0).choice(len(vc), 500, replace=False)
+        d = (np.abs(vc[idx][:, None, :] - vp[None, :, :]).max(axis=2)
+             .min(axis=1))
+        assert d.max() < 1e-4  # couple of t16 quanta in world units
+
+    def test_codes_rerun_bitwise_identical(self, tmp_path):
+        import mlsgpu_tpu._native as nat
+        if not nat.available():
+            pytest.skip("native library unavailable")
+        outs = []
+        for i in (0, 1):
+            out = str(tmp_path / f"codes{i}.ply")
+            reconstruct(make_sphere_source(),
+                        small_config(readback="codes"), out)
+            outs.append(open(out, "rb").read())
+        assert outs[0] == outs[1]
