@@ -434,6 +434,41 @@ def write_tris(raw: np.ndarray, remap: np.ndarray):
     return out[:kept * 13].tobytes()
 
 
+def write_verts_into(raw: np.ndarray, remap: np.ndarray, ext_lo, spacing,
+                     reference, out_buf) -> int:
+    """write_verts variant filling a caller buffer (e.g. an AsyncWriter
+    pool buffer) directly; returns bytes written, or -1 if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return -1
+    raw = np.ascontiguousarray(raw, dtype=np.uint32)
+    remap = np.ascontiguousarray(remap, dtype=np.uint32)
+    ext_lo = np.ascontiguousarray(ext_lo, dtype=np.float32)
+    reference = np.ascontiguousarray(reference, dtype=np.float32)
+    out = np.frombuffer(out_buf, np.uint8)
+    assert len(out) >= len(raw) * 12
+    kept = lib.mls_write_verts(_ptr(raw, _U32), len(raw), _ptr(remap, _U32),
+                               _ptr(ext_lo, _F32), np.float32(spacing),
+                               _ptr(reference, _F32),
+                               out.ctypes.data_as(_F32))
+    return int(kept) * 12
+
+
+def write_tris_into(raw: np.ndarray, remap: np.ndarray, out_buf) -> int:
+    """write_tris variant filling a caller buffer directly; returns bytes
+    written (13 per kept triangle), or -1 if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return -1
+    raw = np.ascontiguousarray(raw, dtype=np.uint32)
+    remap = np.ascontiguousarray(remap, dtype=np.uint32)
+    out = np.frombuffer(out_buf, np.uint8)
+    assert len(out) >= len(raw) * 13
+    kept = lib.mls_write_tris(_ptr(raw, _U32), len(raw), _ptr(remap, _U32),
+                              _ptr(out, _U8))
+    return int(kept) * 13
+
+
 def count_tris_kept(raw: np.ndarray, remap: np.ndarray):
     """Count triangles surviving pruning in one (m,3) slice, or None."""
     lib = get_lib()

@@ -40,7 +40,8 @@ class AsyncWriter:
             writer, offset, buf, length = job
             try:
                 with stats.timer("asyncWriter.write"):
-                    writer.write(offset, bytes(memoryview(buf)[:length]))
+                    # zero-copy: every backend accepts buffer objects
+                    writer.write(offset, memoryview(buf)[:length])
             except BaseException as e:  # surfaced on stop()
                 self._error = e
             self._free.put(buf)

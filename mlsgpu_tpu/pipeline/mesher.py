@@ -463,38 +463,51 @@ class OOCMesher:
                 for pos, raw in self._iter_segments(
                         rec.vert_segments, self._verts, self.VREC, 4,
                         self.STREAM_RECORDS):
-                    world = (nat.write_verts(raw, remap[pos:pos + len(raw)],
-                                             ext_lo, spacing, reference)
-                             if use_native else None)
-                    if world is None:
-                        keep = remap[pos:pos + len(raw)] != 0xFFFFFFFF
-                        verts = raw[keep, 0:3].view(np.float32)
-                        world = np.ascontiguousarray(
-                            (verts + ext_lo) * spacing + reference,
-                            dtype="<f4")
+                    if use_native:
+                        # fill the pool buffer directly (no intermediate
+                        # bytes object; the writer backends take buffers)
+                        buf = aw.get(len(raw) * 12)
+                        n = nat.write_verts_into(
+                            raw, remap[pos:pos + len(raw)], ext_lo, spacing,
+                            reference, buf)
+                        if n >= 0:
+                            aw.push(writer._writer,
+                                    writer.vertex_byte_offset(vpos), buf, n)
+                            vpos += n // 12
+                            continue
+                        aw._free.put(buf)  # library vanished mid-run
+                    keep = remap[pos:pos + len(raw)] != 0xFFFFFFFF
+                    verts = raw[keep, 0:3].view(np.float32)
+                    world = np.ascontiguousarray(
+                        (verts + ext_lo) * spacing + reference, dtype="<f4")
                     push(writer.vertex_byte_offset(vpos), world.tobytes())
                     vpos += len(world)
                 for pos, raw in self._iter_segments(
                         rec.tri_segments, self._tris, self.TREC, 3,
                         self.STREAM_RECORDS):
-                    payload = (nat.write_tris(raw, remap)
-                               if use_native else None)
-                    if payload is not None:
-                        ntk = len(payload) // PlyWriter.TRIANGLE_SIZE
-                    else:
-                        keep = remap[raw[:, 0]] != 0xFFFFFFFF
-                        tris = remap[raw[keep].astype(np.int64)]
-                        trec = np.empty((len(tris), PlyWriter.TRIANGLE_SIZE),
-                                        dtype=np.uint8)
-                        trec[:, 0] = 3
-                        trec[:, 1:] = (tris.astype("<u4").view(np.uint8)
-                                       .reshape(len(tris), 12))
-                        payload = trec.tobytes()
-                        ntk = len(tris)
-                    push(writer.triangle_byte_offset(tpos), payload)
-                    tpos += ntk
+                    if use_native:
+                        buf = aw.get(len(raw) * PlyWriter.TRIANGLE_SIZE)
+                        n = nat.write_tris_into(raw, remap, buf)
+                        if n >= 0:
+                            aw.push(writer._writer,
+                                    writer.triangle_byte_offset(tpos), buf, n)
+                            ntk = n // PlyWriter.TRIANGLE_SIZE
+                            tpos += ntk
+                            if progress is not None:
+                                progress += ntk
+                            continue
+                        aw._free.put(buf)
+                    keep = remap[raw[:, 0]] != 0xFFFFFFFF
+                    tris = remap[raw[keep].astype(np.int64)]
+                    trec = np.empty((len(tris), PlyWriter.TRIANGLE_SIZE),
+                                    dtype=np.uint8)
+                    trec[:, 0] = 3
+                    trec[:, 1:] = (tris.astype("<u4").view(np.uint8)
+                                   .reshape(len(tris), 12))
+                    push(writer.triangle_byte_offset(tpos), trec.tobytes())
+                    tpos += len(tris)
                     if progress is not None:
-                        progress += ntk
+                        progress += len(tris)
         finally:
             aw.stop()
             writer.close()
