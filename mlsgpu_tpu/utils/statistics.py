@@ -216,12 +216,6 @@ class Registry:
         with self._lock:
             return iter(sorted(self._stats.values(), key=lambda s: s.name))
 
-    def clear(self) -> None:
-        """Drop all statistics (e.g. between a warm-up and a measured run,
-        so a dump reflects only the measured work)."""
-        with self._lock:
-            self._stats.clear()
-
     def merge(self, other: "Registry") -> None:
         """Merge another registry into this one (the MPI statistics-gather
         analogue, mlsgpu-mpi.cpp:302-339)."""
@@ -244,6 +238,8 @@ class Registry:
             print(str(stat), file=file)
 
     def clear(self) -> None:
+        """Drop all statistics (e.g. between a warm-up and a measured run,
+        so a dump reflects only the measured work)."""
         with self._lock:
             self._stats.clear()
 
@@ -254,3 +250,13 @@ _registry = Registry()
 def get_registry() -> Registry:
     """The process-wide singleton registry (Statistics::Registry::getInstance)."""
     return _registry
+
+
+def set_registry(registry: Registry) -> Registry:
+    """Swap the process-wide registry and return the previous one. Used by
+    profiling sub-runs (e.g. bench.py's device-stage sample) that must not
+    pollute the measured run's statistics."""
+    global _registry
+    old = _registry
+    _registry = registry
+    return old
