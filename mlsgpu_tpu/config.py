@@ -71,6 +71,12 @@ class ReconstructConfig:
     mls_backend: str = "auto"        # 'auto' | 'xla' | 'pallas'
     readback: str = "auto"           # 'auto' | 'codes' | 'packed' | 'raw'
     device_threads: int = 1
+    sizing_probe: bool = True        # pre-run the densest bucket to grow
+    # caps before streaming (kills mid-run recompiles, ~80 s each); tests
+    # that drive the mid-run growth path disable it
+    eager_write: bool = True         # chunked outputs: write each chunk as
+    # its last block lands (overlaps the final write with device compute);
+    # chunks touched by pruning are rewritten at finalization
     output_split_size: int = 0       # bytes; 0 = single output file
     checkpoint: Optional[str] = None
     resume: Optional[str] = None

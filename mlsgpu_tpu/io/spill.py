@@ -48,6 +48,17 @@ class SpillStore:
     def size(self) -> int:
         return self._end
 
+    def _pwrite(self, data: bytes, off: int) -> None:
+        """Positional write on the fd — no shared file position and no
+        userspace buffer, so concurrent read()s (which use pread) always
+        see every flushed byte."""
+        fd = self._file.fileno()
+        view = memoryview(data)
+        while len(view):
+            n = os.pwrite(fd, view, off)
+            view = view[n:]
+            off += n
+
     # ------------------------------------------------------------- producer
     def append(self, data) -> int:
         """Append bytes (or a numpy array's raw bytes); returns the offset."""
@@ -102,8 +113,7 @@ class SpillStore:
                             self._allocated = new_alloc
                         except OSError:
                             self._allocated = 1 << 62  # stop trying
-                    self._file.seek(off)
-                    self._file.write(data)
+                    self._pwrite(data, off)
             except BaseException as e:
                 with self._lock:
                     self._error = e
@@ -132,25 +142,46 @@ class SpillStore:
             raise self._error
 
     def read(self, offset: int, nbytes: int) -> bytes:
-        """Read a byte range (after freeze(), or for ranges already flushed).
+        """Read a byte range of already-appended data. Safe concurrently
+        with ongoing appends and the background flusher (the eager chunk
+        writer reads a finished chunk's records while later chunks still
+        append): the memory window is snapshotted under the lock (bytes
+        objects stay valid even once the flusher pops them), and the disk
+        part uses pread so no file position is shared with the flusher.
         Ranges may span the disk/memory boundary and multiple appends."""
-        out = bytearray()
         end = offset + nbytes
-        if offset < self._disk_end:
-            n = min(end, self._disk_end) - offset
-            self._file.seek(offset)
-            out += self._file.read(n)
+        with self._lock:
+            if self._error:
+                raise self._error
+            if end > self._end:
+                raise EOFError(
+                    f"spill read past end: wanted [{offset}, {end}), "
+                    f"have {self._end}")
+            disk_end = self._disk_end
+            parts = []
+            if end > disk_end and self._mem:
+                lo_off = max(offset, disk_end)
+                i = max(bisect.bisect_right(self._mem_offsets, lo_off) - 1, 0)
+                while i < len(self._mem):
+                    start = self._mem_offsets[i]
+                    if start >= end:
+                        break
+                    parts.append((start, self._mem[i]))
+                    i += 1
+        out = bytearray()
+        if offset < disk_end:
+            n = min(end, disk_end) - offset
+            out += os.pread(self._file.fileno(), n, offset)
             offset += n
-        if offset < end and self._mem:
-            i = bisect.bisect_right(self._mem_offsets, offset) - 1
-            while offset < end and i < len(self._mem):
-                buf = self._mem[i]
-                start = self._mem_offsets[i]
-                lo = offset - start
-                hi = min(end - start, len(buf))
-                out += buf[lo:hi]
-                offset = start + hi
-                i += 1
+        for start, buf in parts:
+            if offset >= end:
+                break
+            lo = offset - start
+            hi = min(end - start, len(buf))
+            if lo < 0 or lo >= hi:
+                continue
+            out += buf[lo:hi]
+            offset = start + hi
         if len(out) != nbytes:
             raise EOFError(
                 f"spill read past end: wanted [{end - nbytes}, {end}), "
@@ -167,8 +198,7 @@ class SpillStore:
             except OSError:
                 pass
         for off, data in zip(self._mem_offsets, self._mem):
-            self._file.seek(off)
-            self._file.write(data)
+            self._pwrite(data, off)
         self._file.flush()
         self._disk_end = self._end
         self._mem = []

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
@@ -99,6 +100,11 @@ class _ChunkRecord:
     # byte offsets of this chunk's segments in the spill files
     vert_segments: List[tuple] = field(default_factory=list)  # (off, count)
     tri_segments: List[tuple] = field(default_factory=list)
+    # [base, end) clump-id ranges created by this chunk's blocks — every
+    # written vertex's clump id lies in one of them (ids are assigned
+    # contiguously per block), so "does pruning touch this chunk" is a
+    # roots-of-ranges lookup, no spill re-read (eager write cleanliness)
+    clump_ranges: List[tuple] = field(default_factory=list)
 
 
 class OOCMesher:
@@ -124,6 +130,94 @@ class OOCMesher:
         self._key_entries = 0        # global key->clump map entries
         self._chunk_key_entries = 0  # sum of per-chunk key->index entries
         self._nsegs = 0              # spill segment descriptors
+        self._eager = None           # eager per-chunk write state
+
+    # ----------------------------------------------------------- eager write
+    def enable_eager_write(self, path: str, expected_blocks: Dict,
+                           writer_factory=None, comments=None) -> None:
+        """Write each output chunk's PLY as soon as its LAST block is added,
+        on a background thread — the final write then overlaps device
+        compute instead of serializing after pass 1 (measured 79 s of a
+        499 s 10M run; the reference's rationale for its overlapped
+        TmpWriter/AsyncWriter, src/mesher.h:514-620). Speculative w.r.t.
+        pruning: eager files assume nothing is pruned; write() reuses a
+        chunk's file only if no pruned component touches it (a
+        roots-of-clump-ranges check) and rewrites it classically otherwise.
+        Only valid for multi-chunk (--split) outputs — a single-file output
+        needs global counts in its header. `expected_blocks` maps chunk
+        coords -> the number of add() calls that chunk will receive."""
+        import queue as _queue
+        if self._finalized:
+            raise StateError("mesher already finalized")
+        self._eager = {
+            "path": path,
+            "writer_factory": writer_factory or (
+                lambda: PlyWriter(comments=comments)),
+            "expected": dict(expected_blocks),
+            "seen": {},
+            "queue": _queue.Queue(),
+            "written": {},
+            "failed": {},
+        }
+        import threading
+        t = threading.Thread(target=self._eager_loop, name="eager-writer",
+                             daemon=True)
+        self._eager["thread"] = t
+        t.start()
+
+    def _eager_note(self, coords) -> None:
+        e = self._eager
+        if e is None:
+            return
+        e["seen"][coords] = e["seen"].get(coords, 0) + 1
+        if e["seen"][coords] == e["expected"].get(coords, -1):
+            e["queue"].put(coords)
+
+    def _eager_loop(self) -> None:
+        e = self._eager
+        t_eager = self._stats.variable("write.eager")
+        while True:
+            coords = e["queue"].get()
+            if coords is None:
+                return
+            rec = self.chunks.get(coords)
+            if rec is None:
+                continue
+            cpath = self._chunk_path(e["path"], rec.chunk_id)
+            t0 = time.monotonic()
+            try:
+                self._write_records(cpath, [rec], [None], rec.num_vertices,
+                                    rec.num_triangles, e["writer_factory"])
+                e["written"][coords] = cpath
+            except BaseException as ex:  # fall back to the classic rewrite
+                log.warning(f"eager write of chunk {coords} failed "
+                            f"({ex}); will rewrite at finalization")
+                e["failed"][coords] = ex
+            t_eager.add(time.monotonic() - t0)
+
+    def _eager_finish(self) -> None:
+        e = self._eager
+        if e is None or e.get("thread") is None:
+            return
+        e["queue"].put(None)
+        e["thread"].join()
+        e["thread"] = None
+
+    def _eager_clean(self, coords, rec, pruned_arr) -> bool:
+        """True when the chunk's eager file is already the correct final
+        output: written without error, and no pruned component owns any of
+        the chunk's clumps."""
+        e = self._eager
+        if e is None or coords not in e.get("written", {}):
+            return False
+        if pruned_arr is None:
+            return True
+        for a, b in rec.clump_ranges:
+            ids = np.arange(a, b, dtype=np.int64)
+            roots = self.clumps.find_many(ids)
+            if np.isin(roots, pruned_arr).any():
+                return False
+        return True
 
     # ------------------------------------------------------------------ add
     def add(self, block: BlockInput) -> None:
@@ -137,8 +231,10 @@ class OOCMesher:
         keys = np.asarray(block.ext_keys, dtype=np.int64)
         assert len(keys) == n - first_ext
         if n == 0:
+            self._eager_note(block.chunk_id.coords)
             return
         if self._add_native(block, verts, n, first_ext, keys):
+            self._eager_note(block.chunk_id.coords)
             return
         tris = np.asarray(block.triangles, dtype=np.int64)
         if len(tris):
@@ -196,6 +292,8 @@ class OOCMesher:
         rec = self.chunks.get(block.chunk_id.coords)
         if rec is None:
             rec = self.chunks[block.chunk_id.coords] = _ChunkRecord(block.chunk_id)
+        if num_local:
+            rec.clump_ranges.append((base, base + num_local))
 
         # Which vertices get written: all internals + unseen-key externals.
         write_mask = np.ones(n, dtype=bool)
@@ -245,6 +343,7 @@ class OOCMesher:
         # 0.5 load), and segment bookkeeping. mem.spill covers the reorder
         # window; mem.blobs the blob arrays.
         self._record_add_stats(n_new, m)
+        self._eager_note(block.chunk_id.coords)
 
     def _add_native(self, block: BlockInput, verts, n, first_ext,
                     keys) -> bool:
@@ -263,6 +362,7 @@ class OOCMesher:
         t_nat = self._stats.timer("mesher.native")
         t_nat.__enter__()
         self.clumps.reserve(n)
+        prior_clumps = len(self.clumps)
         try:
             out = nat.mesher_add(verts, block.triangles, first_ext, keys,
                                  self.clumps, len(self.clumps),
@@ -282,6 +382,9 @@ class OOCMesher:
         self._chunk_key_entries += int(nstats[2])
         if fresh_rec:
             self.chunks[block.chunk_id.coords] = rec
+        if int(nstats[0]):
+            rec.clump_ranges.append((prior_clumps,
+                                     prior_clumps + int(nstats[0])))
 
         t_sp = self._stats.timer("mesher.spill")
         t_sp.__enter__()
@@ -335,10 +438,14 @@ class OOCMesher:
 
         pruned_override supplies an externally-computed pruned clump-root
         set (the distributed path computes it globally across hosts)."""
+        self._eager_finish()
         self._finalize()
         writer_factory = writer_factory or (lambda: PlyWriter(comments=comments))
         pruned = (pruned_override if pruned_override is not None
                   else self._pruned_roots())
+        pruned_arr = (np.sort(np.fromiter(pruned, dtype=np.int64,
+                                          count=len(pruned)))
+                      if pruned else None)
         chunk_ids = sorted(self.chunks.keys())
         # --split always emits coordinate-suffixed chunk files (even a single
         # chunk), so concurrent distributed writers never collide on `path`.
@@ -347,8 +454,17 @@ class OOCMesher:
         outputs: List[str] = []
         if multi:
             for cid in chunk_ids:
-                cpath = self._chunk_path(path, self.chunks[cid].chunk_id)
-                self._write_chunk(cpath, [self.chunks[cid]],
+                rec = self.chunks[cid]
+                cpath = self._chunk_path(path, rec.chunk_id)
+                if self._eager_clean(cid, rec, pruned_arr):
+                    # the eager file is bitwise what the classic pass would
+                    # write (identity remap == no-prune pass A remap)
+                    self._stats.counter("write.eagerClean").add(1)
+                    outputs.append(cpath)
+                    continue
+                if self._eager is not None:
+                    self._stats.counter("write.eagerDirty").add(1)
+                self._write_chunk(cpath, [rec],
                                   pruned, writer_factory, comments, progress)
                 outputs.append(cpath)
         else:
@@ -407,6 +523,8 @@ class OOCMesher:
         remaps: List[np.ndarray] = []
         nv_total = 0
         nt_total = 0
+        t_pass_a = self._stats.timer("write.passA")
+        t_pass_a.__enter__()
         for rec in recs:
             remap = np.full(rec.num_vertices, 0xFFFFFFFF, dtype=np.uint32)
             for pos, raw in self._iter_segments(rec.vert_segments, self._verts,
@@ -435,7 +553,21 @@ class OOCMesher:
                     nt_total += cnt
             else:
                 nt_total += rec.num_triangles
+        t_pass_a.__exit__(None, None, None)
 
+        self._write_records(path, recs, remaps, nv_total, nt_total,
+                            writer_factory, progress)
+
+    def _write_records(self, path, recs, remaps, nv_total, nt_total,
+                       writer_factory, progress=None) -> None:
+        """Pass B: stream the records of `recs` through their remaps into
+        the output PLY with bounded memory (AsyncWriter double-buffering,
+        the reference's src/async_io.h:41-148). `remaps[i] is None` means
+        identity — every record kept, already in final id order (the eager
+        no-prune path); per-slice aranges stand in for the array."""
+        from mlsgpu_tpu import _native as nat
+        from mlsgpu_tpu.io.async_io import AsyncWriter
+        use_native = nat.available()
         writer = writer_factory()
         writer.set_num_vertices(nv_total)
         writer.set_num_triangles(nt_total)
@@ -459,32 +591,51 @@ class OOCMesher:
         try:
             vpos = 0
             tpos = 0
+            t_verts = self._stats.variable("write.verts")
+            t_tris = self._stats.variable("write.tris")
             for rec, remap in zip(recs, remaps):
+                tsec = time.monotonic()
                 for pos, raw in self._iter_segments(
                         rec.vert_segments, self._verts, self.VREC, 4,
                         self.STREAM_RECORDS):
+                    rm = (remap[pos:pos + len(raw)] if remap is not None
+                          else np.arange(pos, pos + len(raw), dtype=np.uint32))
                     if use_native:
                         # fill the pool buffer directly (no intermediate
                         # bytes object; the writer backends take buffers)
                         buf = aw.get(len(raw) * 12)
                         n = nat.write_verts_into(
-                            raw, remap[pos:pos + len(raw)], ext_lo, spacing,
-                            reference, buf)
+                            raw, rm, ext_lo, spacing, reference, buf)
                         if n >= 0:
                             aw.push(writer._writer,
                                     writer.vertex_byte_offset(vpos), buf, n)
                             vpos += n // 12
                             continue
                         aw._free.put(buf)  # library vanished mid-run
-                    keep = remap[pos:pos + len(raw)] != 0xFFFFFFFF
+                    keep = rm != 0xFFFFFFFF
                     verts = raw[keep, 0:3].view(np.float32)
                     world = np.ascontiguousarray(
                         (verts + ext_lo) * spacing + reference, dtype="<f4")
                     push(writer.vertex_byte_offset(vpos), world.tobytes())
                     vpos += len(world)
+                t_verts.add(time.monotonic() - tsec)
+                tsec = time.monotonic()
                 for pos, raw in self._iter_segments(
                         rec.tri_segments, self._tris, self.TREC, 3,
                         self.STREAM_RECORDS):
+                    if remap is None:
+                        # identity: indices are already final; just add the
+                        # PLY list-length byte
+                        trec = np.empty((len(raw), PlyWriter.TRIANGLE_SIZE),
+                                        dtype=np.uint8)
+                        trec[:, 0] = 3
+                        trec[:, 1:] = (raw.astype("<u4").view(np.uint8)
+                                       .reshape(len(raw), 12))
+                        push(writer.triangle_byte_offset(tpos), trec.tobytes())
+                        tpos += len(raw)
+                        if progress is not None:
+                            progress += len(raw)
+                        continue
                     if use_native:
                         buf = aw.get(len(raw) * PlyWriter.TRIANGLE_SIZE)
                         n = nat.write_tris_into(raw, remap, buf)
@@ -508,6 +659,7 @@ class OOCMesher:
                     tpos += len(tris)
                     if progress is not None:
                         progress += len(tris)
+                t_tris.add(time.monotonic() - tsec)
         finally:
             aw.stop()
             writer.close()
@@ -518,6 +670,7 @@ class OOCMesher:
     def checkpoint(self, path: str) -> None:
         """Persist collector state for a later write-only run
         (--checkpoint, src/mesher.cpp:854-874)."""
+        self._eager_finish()
         self._finalize()
         state = {
             "grid": self.grid,
@@ -553,10 +706,12 @@ class OOCMesher:
         mesher._tris = SpillStore.from_file(state["tri_path"])
         mesher._finalized = True
         mesher._stats = get_registry()
+        mesher._eager = None
         return mesher
 
     def cleanup(self) -> None:
         """Remove temp spill files."""
+        self._eager_finish()
         self._finalize()
         self._verts.cleanup()
         self._tris.cleanup()

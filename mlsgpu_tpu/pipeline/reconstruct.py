@@ -186,6 +186,7 @@ def run_block(splats_padded: np.ndarray, valid: np.ndarray,
     from mlsgpu_tpu.ops.block import resolve_mls_backend
     from mlsgpu_tpu.pipeline.streamer import _check_overflow
     backend = resolve_mls_backend(getattr(cfg, "mls_backend", "auto"))
+    attempt = 0
     while True:
         result = block_step(
             **args,
@@ -196,8 +197,9 @@ def run_block(splats_padded: np.ndarray, valid: np.ndarray,
             index_cap=caps.index_cap, fit_shape=cfg.fit_shape,
             mls_backend=backend, occ_tile_cap=caps.occ_tile_cap,
             march_tile_cap=caps.march_tile_cap)
-        if not _check_overflow(result, caps, caps):
+        if not _check_overflow(result, caps, caps, attempt=attempt):
             return result
+        attempt += 1
         stats.counter("device.capRetries").add(1)
         log.info("block cap overflow; retrying with larger caps")
 
@@ -233,6 +235,7 @@ def block_result_to_input(result: BlockResult, bucket: bucket_mod.Bucket
             from mlsgpu_tpu import _native as nat
             with stats.timer("readback.wait"):
                 flat = np.asarray(result.packed)
+            stats.counter("readback.bytes").add(flat.nbytes)
             with stats.timer("readback.decode"):
                 verts, tris, keys, fe = nat.rebuild_block(
                     flat, result.num_cells, result.num_unwelded, ni,
@@ -250,6 +253,7 @@ def block_result_to_input(result: BlockResult, bucket: bucket_mod.Bucket
             from mlsgpu_tpu.ops.block import unpack_readback_global
             with stats.timer("readback.wait"):
                 flat = np.asarray(result.packed)
+            stats.counter("readback.bytes").add(flat.nbytes)
             with stats.timer("readback.decode"):
                 verts, tris, keys = unpack_readback_global(
                     flat, ni, nv, fe, result.pack_fmt,
@@ -311,6 +315,20 @@ def reconstruct(source: SplatSource, cfg: ReconstructConfig, output: str,
                                  reorder_budget=cfg.mem_reorder)
     if caps is None:
         caps = load_cached_caps(cfg)
+
+    # Eager per-chunk write: chunked outputs stream to disk as their last
+    # block lands, overlapping the final write with device compute (write()
+    # falls back per chunk when pruning touches it). Not applicable to
+    # single-file outputs (global header counts) or checkpoint runs (no
+    # write happens in this invocation).
+    if (cfg.output_split_size and not cfg.checkpoint
+            and getattr(cfg, "eager_write", True)):
+        expected: dict = {}
+        for b in buckets:
+            c = b.chunk_id.coords
+            expected[c] = expected.get(c, 0) + 1
+        mesher.enable_eager_write(output, expected,
+                                  writer_factory=writer_factory)
 
     total = sum(b.num_splats for b in buckets)
     progress = (ProgressDisplay(total, label="reconstructing")

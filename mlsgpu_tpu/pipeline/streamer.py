@@ -20,6 +20,7 @@ from __future__ import annotations
 import copy
 import queue
 import threading
+import time
 from collections import deque
 from typing import Iterator, List, Optional, Sequence, Tuple
 
@@ -47,18 +48,21 @@ def _dispatch(padded, valid, bucket, cfg, caps, device,
               device_filter=None, points=None) -> BlockResult:
     from mlsgpu_tpu.ops.block import (block_step_staged, resolve_mls_backend,
                                       resolve_readback)
-    args = dict(
-        splats=jax.device_put(padded, device),
-        valid=jax.device_put(valid, device),
-        region_cells=jax.device_put(
-            np.asarray(bucket.cell_hi - bucket.cell_lo, np.int32), device),
-        cell_origin=jax.device_put(
-            np.asarray(bucket.cell_lo, np.int32), device),
-        points=(None if points is None
-                else jax.device_put(points, device)),
-    )
+    stats = get_registry()
+    with stats.timer("dispatch.h2d"):
+        args = dict(
+            splats=jax.device_put(padded, device),
+            valid=jax.device_put(valid, device),
+            region_cells=jax.device_put(
+                np.asarray(bucket.cell_hi - bucket.cell_lo, np.int32), device),
+            cell_origin=jax.device_put(
+                np.asarray(bucket.cell_lo, np.int32), device),
+            points=(None if points is None
+                    else jax.device_put(points, device)),
+        )
     step = (block_step_staged if getattr(cfg, "statistics_device", False)
             else block_step)
+    t_call = time.monotonic()
     result = step(
         **args,
         boundary_factor=float(cfg.boundary_factor),
@@ -73,6 +77,12 @@ def _dispatch(padded, valid, bucket, cfg, caps, device,
         device_filter=device_filter,
         readback=resolve_readback(getattr(cfg, "readback", "auto"),
                                   cfg.levels, cfg.subsampling))
+    t_call = time.monotonic() - t_call
+    stats.variable("dispatch.call").add(t_call)
+    if t_call > 3.0:
+        # Async dispatch of a cached program is milliseconds; seconds mean
+        # a trace+compile happened (a new pad shape or grown caps).
+        stats.counter("dispatch.compiles").add(1)
     # NOTE: do NOT copy_to_host_async the full packed buffer here — on this
     # platform d2h transfers do not overlap device compute, so an eager
     # full-cap transfer serializes the pipeline (measured 1.9x slower than
@@ -81,7 +91,8 @@ def _dispatch(padded, valid, bucket, cfg, caps, device,
 
 
 def _check_overflow(result: BlockResult, built, caps, counts=None,
-                    check_index: bool = True) -> bool:
+                    check_index: bool = True, attempt: int = 0,
+                    grown: Optional[list] = None) -> bool:
     """Detect overflow against `built` — the caps the result's program was
     BUILT with — and grow the run's shared `caps` for the retry; returns
     True when a retry is needed (forces the diagnostic scalars — the sync
@@ -91,12 +102,27 @@ def _check_overflow(result: BlockResult, built, caps, counts=None,
     happen to fit the grown caps (a real corrupt-mesh bug, not a
     theoretical one). Caps grow to eighth-pow2 steps after ~6% headroom:
     the cap-sized gather/sort stages of marching and weld are the device
-    hot spots, so cap slop is wall time (caps are value-neutral — the
-    canonical face pass removed the K-dependence of shared-corner
-    values)."""
+    hot spots, so cap slop is wall time. `attempt` > 0 means this block
+    already retried once: counts
+    measured by an overflowed program can understate the true demand (an
+    overfull upstream stage truncates what downstream stages see), so a
+    REPEAT overflow doubles instead of near-fitting — every extra retry
+    costs a full block_step recompile (~80 s measured), while cap slop
+    costs milliseconds per block. `grown`, when given, collects
+    "name old->new (measured)" strings for the retry log. Growth is
+    value-safe: shared-face corners are bitwise K-independent (canonical
+    face pass), and interior corners are single-block-owned (a ~1 ulp
+    K-sensitivity there cannot crack the mesh; see PLAN.md)."""
     def grow(cur, n):
         n = int(n) + int(n) // 16 + 1   # 6% headroom against thrash
-        return max(cur, eighth_pow2_ceil(n))
+        target = eighth_pow2_ceil(n)
+        if attempt > 0:
+            target = max(target, 2 * cur)
+        return max(cur, target)
+
+    def note(name, old, new, n):
+        if grown is not None and new != old:
+            grown.append(f"{name} {old}->{new} (measured {n})")
 
     from mlsgpu_tpu.ops.block import fetch_counts
     if counts is None:
@@ -105,27 +131,39 @@ def _check_overflow(result: BlockResult, built, caps, counts=None,
 
     retry = False
     if mt > built.max_candidates:
+        old = caps.max_candidates
         caps.max_candidates = grow(caps.max_candidates, mt)
+        note("K", old, caps.max_candidates, mt)
         retry = True
     if nc > built.cell_cap:
+        old = caps.cell_cap
         caps.cell_cap = grow(caps.cell_cap, nc)
+        note("cells", old, caps.cell_cap, nc)
         retry = True
     if nuw > built.vertex_cap:
+        old = caps.vertex_cap
         caps.vertex_cap = grow(caps.vertex_cap, nuw)
+        note("verts", old, caps.vertex_cap, nuw)
         retry = True
     # codes-mode readbacks have no device index arrays: the host sizes its
     # triangle rebuild from the true count, so index_cap never gates there.
     if check_index and ni > built.index_cap:
+        old = caps.index_cap
         caps.index_cap = 3 * grow(caps.index_cap // 3, ni // 3 + 1)
+        note("inds", old, caps.index_cap, ni)
         retry = True
     if built.occ_tile_cap and getattr(result, "num_occ_tiles", None) is not None:
         if n_occ > built.occ_tile_cap:
+            old = caps.occ_tile_cap
             caps.occ_tile_cap = grow(caps.occ_tile_cap, n_occ)
+            note("occTiles", old, caps.occ_tile_cap, n_occ)
             retry = True
     if (getattr(built, "march_tile_cap", 0)
             and getattr(result, "num_march_tiles", None) is not None):
         if nmt > built.march_tile_cap:
+            old = caps.march_tile_cap
             caps.march_tile_cap = grow(caps.march_tile_cap, nmt)
+            note("marchTiles", old, caps.march_tile_cap, nmt)
             retry = True
     return retry
 
@@ -312,6 +350,42 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
     blob_start = info.blobs.start
     blob_count = info.blobs.count
     grid = info.grid
+
+    # Sizing probe (the fix for a measured ~250 s of mid-run recompiles at
+    # 10M splats): run the densest bucket ONCE up front, growing caps on
+    # overflow, and discard the result. Per-block demands correlate with
+    # bucket size, so the run proper is then single-program in the common
+    # case — without this, every mid-run cap growth recompiles block_step
+    # (~80 s) and re-runs the block. The probe also means caps stop growing
+    # mid-run in the common case, so every block runs the SAME program (the
+    # determinism caveat in PLAN.md). Skipped for small runs, where the
+    # duplicate block outweighs a possible recompile.
+    if len(buckets) >= 16 and getattr(cfg, "sizing_probe", True):
+        from mlsgpu_tpu.pipeline.reconstruct import prepare_block_inputs
+        probe = max(buckets, key=lambda b: b.num_splats)
+        with stats.timer("streamer.probe"):
+            ranges = merge_ranges(
+                (int(blob_start[i]), int(blob_start[i] + blob_count[i]))
+                for i in probe.blob_ids)
+            p_pad, p_valid = prepare_block_inputs(
+                source.read_ranges(ranges), probe, grid, pad_to=pad_to)
+            p_pts = padded_points(probe)
+            attempt = 0
+            while True:
+                built = copy.copy(caps)
+                result = _dispatch(p_pad, p_valid, probe, cfg, caps,
+                                   devices[0], device_filter, points=p_pts)
+                p_grown: list = []
+                if not _check_overflow(result, built, caps,
+                                       check_index=(rb_mode != "codes"),
+                                       attempt=attempt, grown=p_grown):
+                    break
+                stats.counter("streamer.probeRetries").add(1)
+                log.info(f"sizing probe: cap overflow, retry "
+                         f"{attempt + 1}: {'; '.join(p_grown)}")
+                attempt += 1
+            del result, p_pad, p_valid, p_pts
+
     error: List[BaseException] = []
     cancel = threading.Event()
 
@@ -379,12 +453,17 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
         with timeplot.Action("compute", compute_worker,
                              stats.variable("device.time")):
             counts = fetch_counts(result)  # one d2h for all diagnostics
+            attempt = 0
+            grown: list = []
             while _check_overflow(result, built, caps, counts=counts,
-                                  check_index=(rb_mode != "codes")):
+                                  check_index=(rb_mode != "codes"),
+                                  attempt=attempt, grown=grown):
                 stats.counter("device.capRetries").add(1)
-                log.info(f"block {b.chunk_id.gen}: cap overflow, retrying "
-                         f"(K={caps.max_candidates}, cells={caps.cell_cap}, "
-                         f"verts={caps.vertex_cap}, inds={caps.index_cap})")
+                log.info(f"bucket {getattr(b, 'seq', '?')} (chunk "
+                         f"{b.chunk_id.coords}): cap overflow, retry "
+                         f"{attempt + 1}: {'; '.join(grown)}")
+                attempt += 1
+                grown.clear()
                 built = copy.copy(caps)
                 result = _dispatch(padded, valid, b, cfg, caps, device,
                                    device_filter, points=pts)

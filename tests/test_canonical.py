@@ -55,6 +55,34 @@ def eval_block(splats, origin, region, max_candidates=2048, points=None):
     return np.asarray(field)
 
 
+def test_shared_face_bitwise_equal_across_cap_growth():
+    """The documented seam-crack risk case (PLAN.md 'Cap growth vs
+    determinism'): a cap retry mid-run leaves adjacent blocks computed by
+    programs with DIFFERENT max_candidates. The canonical face pass must
+    make the shared plane bitwise equal anyway — its candidate lists are
+    canonicalized (exact rectangle filter + dedup + full-feature sort) and
+    padded with exact zeros, so the fixed-shape reductions are
+    K-independent whenever K is large enough to hold the patch list."""
+    rng = np.random.default_rng(42)
+    boundary = 24
+    splats = oracle.sphere_cloud([boundary, 14.0, 14.0], 9.0, 6000, 1.2, rng)
+    splats = splats.astype(np.float32)
+
+    fa = eval_block(splats, (0, 0, 0), (boundary, B - 1, B - 1),
+                    max_candidates=1024)
+    fb = eval_block(splats, (boundary, 0, 0), (B - 1, B - 1, B - 1),
+                    max_candidates=2048)
+
+    plane_a = fa[:, :, boundary]
+    plane_b = fb[:, :, 0]
+    nan_a, nan_b = np.isnan(plane_a), np.isnan(plane_b)
+    np.testing.assert_array_equal(nan_a, nan_b)
+    ok = ~nan_a
+    assert ok.sum() > 100
+    np.testing.assert_array_equal(
+        plane_a[ok].view(np.uint32), plane_b[ok].view(np.uint32))
+
+
 @pytest.mark.parametrize("region_a", [28, 24])   # 28 % 8 != 0: misaligned
 def test_shared_face_plane_bitwise_equal(region_a):
     rng = np.random.default_rng(42)

@@ -168,6 +168,74 @@ class TestEndToEnd:
         reconstruct(make_sphere_source(), cfg, out)
         check_sphere_output(out)
 
+    def test_cap_growth_mid_run_crack_free(self, tmp_path):
+        """The documented seam-crack risk case (PLAN.md 'Cap growth vs
+        determinism'): a mid-run candidate-cap retry leaves earlier blocks
+        computed with the small K and later ones with the grown K, across
+        shared faces. The contract: the output is still a CLOSED MANIFOLD
+        (the canonical face pass makes shared-face corners bitwise
+        K-independent — test_canonical.py pins that directly — so no
+        cracks open), and the geometry matches a grown-caps-upfront run to
+        float noise. Interior corners are owned by exactly one block, so
+        their slight K-sensitivity (contraction tiling changes with the
+        pad) cannot crack the mesh; it can flip a handful of near-zero
+        corners, hence counts are compared with a small tolerance rather
+        than bitwise.
+
+        The sizing probe normally pre-grows caps so this never happens;
+        it is disabled here to drive the risk case (in production the
+        probe can still underestimate — demand is only measurable by
+        running a block)."""
+        from mlsgpu_tpu.pipeline.reconstruct import (
+            BlockCaps, default_march_tile_cap, default_occ_tile_cap)
+        from mlsgpu_tpu.utils.statistics import get_registry
+
+        rng = np.random.default_rng(5)
+        base = oracle.sphere_cloud(CENTER, RADIUS, 9000, 0.32, rng)
+        # Dense patch confined to the +x+y+z pole: its bucket streams LAST
+        # (buckets follow chunk/cell order), so the overflow retry happens
+        # after other blocks already ran with the small K.
+        u = base[:, 0:3] - CENTER
+        pole = u @ (np.ones(3) / np.sqrt(3)) > 0.93 * RADIUS
+        patch = oracle.sphere_cloud(CENTER, RADIUS, 60000, 0.32, rng)
+        pu = patch[:, 0:3] - CENTER
+        patch = patch[pu @ (np.ones(3) / np.sqrt(3)) > 0.93 * RADIUS]
+        assert pole.sum() > 50 and len(patch) > 500
+        src = SequenceSource(np.concatenate([base, patch]))
+
+        cfg = small_config(sizing_probe=False)
+
+        def fresh_caps(k):
+            return BlockCaps(k, cfg.cell_cap, cfg.vertex_cap, cfg.index_cap,
+                             occ_tile_cap=default_occ_tile_cap(cfg),
+                             march_tile_cap=default_march_tile_cap(cfg))
+
+        reg = get_registry()
+        before = reg.counter("device.capRetries").get()
+        caps = fresh_caps(192)   # small enough for the patch to overflow
+        out1 = str(tmp_path / "grown_midrun.ply")
+        reconstruct(src, cfg, out1, caps=caps)
+        assert reg.counter("device.capRetries").get() > before, \
+            "fixture no longer forces a mid-run cap retry"
+        assert caps.max_candidates > 192
+
+        # The real contract first: crack-free despite the mid-run growth.
+        v1, t1 = ply.read_mesh(out1)
+        rep = check_manifold(v1, t1)
+        assert rep.is_manifold, rep.reason
+        assert rep.num_boundary_edges == 0
+
+        # Control: start straight from the final grown caps (no retry).
+        out2 = str(tmp_path / "grown_upfront.ply")
+        reconstruct(src, cfg, out2, caps=fresh_caps(caps.max_candidates))
+        v2, t2 = ply.read_mesh(out2)
+        assert abs(len(v1) - len(v2)) <= max(len(v1) // 2000, 4)
+        assert abs(len(t1) - len(t2)) <= max(len(t1) // 2000, 8)
+        r1 = np.sort(np.linalg.norm(v1 - CENTER, axis=1))
+        r2 = np.sort(np.linalg.norm(v2 - CENTER, axis=1))
+        m = min(len(r1), len(r2))
+        assert np.abs(r1[:m] - r2[:m]).max() < 0.02
+
 
 @pytest.fixture(autouse=True)
 def _clear_caches_each_test():
@@ -176,6 +244,68 @@ def _clear_caches_each_test():
     yield
     import jax
     jax.clear_caches()
+
+
+@pytest.mark.slow
+class TestEagerChunkWrite:
+    """Eager per-chunk write (the final-write/device-compute overlap): each
+    chunk's PLY streams out as its last block lands; write() reuses clean
+    files and rewrites pruning-touched ones (pipeline/mesher.py
+    enable_eager_write; overlap rationale = the reference's TmpWriter/
+    AsyncWriter design, src/mesher.h:514-620)."""
+
+    def _split_cfg(self, **kw):
+        kw.setdefault("fit_prune", 0.02)
+        return small_config(output_split_size=150_000, **kw)
+
+    def test_eager_matches_classic_bitwise(self, tmp_path):
+        from mlsgpu_tpu.utils.statistics import get_registry
+        src = make_sphere_source(12000, sr=0.3)
+        before = get_registry().counter("write.eagerClean").get()
+        files_e = reconstruct(src, self._split_cfg(),
+                              str(tmp_path / "e.ply"))
+        clean = get_registry().counter("write.eagerClean").get() - before
+        files_c = reconstruct(src, self._split_cfg(eager_write=False),
+                              str(tmp_path / "c.ply"))
+        assert len(files_e) == len(files_c) > 1
+        assert clean > 0, "eager write never produced a reusable chunk"
+        for fe, fc in zip(files_e, files_c):
+            ve, te = ply.read_mesh(fe)
+            vc, tc = ply.read_mesh(fc)
+            np.testing.assert_array_equal(ve, vc)
+            np.testing.assert_array_equal(te, tc)
+
+    def test_pruned_chunk_rewritten(self, tmp_path):
+        """Debris that pruning removes makes its chunk's eager file stale;
+        write() must detect it (roots-of-clump-ranges) and rewrite. The
+        output must equal the non-eager run's bitwise."""
+        from mlsgpu_tpu.utils.statistics import get_registry
+        rng = np.random.default_rng(11)
+        sphere = oracle.sphere_cloud(CENTER, RADIUS, 12000, 0.3, rng)
+        # a tiny separate blob: its own component, < fit_prune of vertices
+        debris = oracle.sphere_cloud(CENTER + np.array([0, 0, RADIUS + 1.5]),
+                                     0.4, 300, 0.25, rng)
+        src = SequenceSource(np.concatenate([sphere, debris]))
+        before = get_registry().counter("write.eagerDirty").get()
+        files_e = reconstruct(src, self._split_cfg(fit_prune=0.05),
+                              str(tmp_path / "e.ply"))
+        dirty = get_registry().counter("write.eagerDirty").get() - before
+        assert dirty > 0, "fixture no longer drives the pruning-dirty path"
+        files_c = reconstruct(src, self._split_cfg(fit_prune=0.05,
+                                                   eager_write=False),
+                              str(tmp_path / "c.ply"))
+        all_v = []
+        for fe, fc in zip(files_e, files_c):
+            ve, te = ply.read_mesh(fe)
+            vc, tc = ply.read_mesh(fc)
+            np.testing.assert_array_equal(ve, vc)
+            np.testing.assert_array_equal(te, tc)
+            if len(ve):
+                all_v.append(ve)
+        # the debris blob was pruned from the final surface
+        v = np.concatenate(all_v)
+        r = np.linalg.norm(v - CENTER, axis=1)
+        assert r.max() < RADIUS + 1.0
 
 
 @pytest.mark.slow
