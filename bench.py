@@ -321,13 +321,17 @@ def _sample_device_stages(splats, cfg, caps):
     out = os.path.join(tempfile.mkdtemp(), "sample.ply")
     sub_src = SequenceSource(splats[:n])
     sub_caps = _copy.copy(caps)
-    # Pass 1 warms the fenced-stage compile (the sample slice pads to its
-    # own shapes); only pass 2 is recorded, so the per-block means are
-    # steady-state device time, not Mosaic/XLA compile time.
-    reconstruct(sub_src, sub_cfg, out, show_progress=False, caps=sub_caps)
-    reg = stats_mod.Registry()
-    saved = stats_mod.set_registry(reg)
+    # BOTH sample passes run under scratch registries so the measured run's
+    # dump stays uncontaminated (BENCH_r04 review note). Pass 1 warms the
+    # fenced-stage compile (the sample slice pads to its own shapes); only
+    # pass 2 is read, so the per-block means are steady-state device time,
+    # not Mosaic/XLA compile time.
+    saved = stats_mod.set_registry(stats_mod.Registry())
     try:
+        reconstruct(sub_src, sub_cfg, out, show_progress=False,
+                    caps=sub_caps)
+        reg = stats_mod.Registry()
+        stats_mod.set_registry(reg)
         reconstruct(sub_src, sub_cfg, out, show_progress=False,
                     caps=sub_caps)
     finally:

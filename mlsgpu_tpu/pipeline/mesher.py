@@ -131,6 +131,7 @@ class OOCMesher:
         self._chunk_key_entries = 0  # sum of per-chunk key->index entries
         self._nsegs = 0              # spill segment descriptors
         self._eager = None           # eager per-chunk write state
+        self._vertices_total = 0     # welded vertices added so far
 
     # ----------------------------------------------------------- eager write
     def enable_eager_write(self, path: str, expected_blocks: Dict,
@@ -140,12 +141,18 @@ class OOCMesher:
         compute instead of serializing after pass 1 (measured 79 s of a
         499 s 10M run; the reference's rationale for its overlapped
         TmpWriter/AsyncWriter, src/mesher.h:514-620). Speculative w.r.t.
-        pruning: eager files assume nothing is pruned; write() reuses a
-        chunk's file only if no pruned component touches it (a
-        roots-of-clump-ranges check) and rewrites it classically otherwise.
-        Only valid for multi-chunk (--split) outputs — a single-file output
-        needs global counts in its header. `expected_blocks` maps chunk
-        coords -> the number of add() calls that chunk will receive."""
+        pruning: each eager file is written with a PREDICTED prune decision
+        per clump (component size now, scaled by the fraction of blocks
+        still to come, against the prune threshold — noise components stay
+        tiny, the main surface is huge, so the prediction is almost always
+        exact). write() reuses a chunk's file iff the final per-clump
+        decisions equal the predicted ones and rewrites it classically
+        otherwise (measured: the earlier nothing-pruned speculation left
+        5 of 8 chunks dirty on a 10M run because every chunk holds some
+        pruned noise clump). Only valid for multi-chunk (--split) outputs —
+        a single-file output needs global counts in its header.
+        `expected_blocks` maps chunk coords -> the number of add() calls
+        that chunk will receive."""
         import queue as _queue
         if self._finalized:
             raise StateError("mesher already finalized")
@@ -154,9 +161,12 @@ class OOCMesher:
             "writer_factory": writer_factory or (
                 lambda: PlyWriter(comments=comments)),
             "expected": dict(expected_blocks),
+            "expected_total": sum(expected_blocks.values()),
             "seen": {},
+            "seen_total": 0,
             "queue": _queue.Queue(),
             "written": {},
+            "predicted": {},
             "failed": {},
         }
         import threading
@@ -165,29 +175,99 @@ class OOCMesher:
         self._eager["thread"] = t
         t.start()
 
+    def _predict_pruned(self, rec) -> Optional[np.ndarray]:
+        """Predict the final prune decision for a completed chunk's clumps,
+        as a sorted array of ORIGINAL clump ids predicted dropped (None =
+        nothing). Runs on the add() thread (the union-find mutates there;
+        the eager thread never touches it). The final threshold is
+        prune * total_vertices at write() time; total-so-far is scaled by
+        blocks-remaining to estimate it. Mispredictions are safe: write()
+        verifies per-clump equality and falls back to the classic
+        rewrite."""
+        e = self._eager
+        if not self.prune or not rec.clump_ranges:
+            return None
+        seen = max(e["seen_total"], 1)
+        est_total = self._vertices_total * e["expected_total"] / seen
+        threshold = self.prune * est_total
+        ids = np.concatenate([np.arange(a, b, dtype=np.int64)
+                              for a, b in rec.clump_ranges])
+        roots = self.clumps.find_many(ids)
+        dropped = self.clumps.num_vertices[roots] < threshold
+        if not dropped.any():
+            return None
+        return np.sort(ids[dropped])
+
     def _eager_note(self, coords) -> None:
         e = self._eager
         if e is None:
             return
         e["seen"][coords] = e["seen"].get(coords, 0) + 1
+        e["seen_total"] += 1
         if e["seen"][coords] == e["expected"].get(coords, -1):
-            e["queue"].put(coords)
+            rec = self.chunks.get(coords)
+            predicted = self._predict_pruned(rec) if rec is not None else None
+            e["predicted"][coords] = predicted
+            e["queue"].put((coords, predicted))
+
+    def _eager_pass_a(self, rec, predicted: np.ndarray):
+        """Pass A against a predicted-dropped clump-id set in ORIGINAL clump
+        space: no union-find access (it belongs to the add thread), so an
+        identity parent array feeds the native kernel."""
+        from mlsgpu_tpu import _native as nat
+        use_native = nat.available()
+        ident = None
+        if use_native:
+            hi = int(rec.clump_ranges[-1][1]) if rec.clump_ranges else 0
+            ident = np.arange(hi, dtype=np.int64)
+        remap = np.full(rec.num_vertices, 0xFFFFFFFF, dtype=np.uint32)
+        nv = 0
+        for pos, raw in self._iter_segments(rec.vert_segments, self._verts,
+                                            self.VREC, 4,
+                                            self.STREAM_RECORDS):
+            out = (nat.write_pass_a(raw, ident, predicted, nv)
+                   if use_native else None)
+            if out is not None:
+                kept, rm = out
+                remap[pos:pos + len(raw)] = rm
+                nv += kept
+                continue
+            keep = ~np.isin(raw[:, 3].astype(np.int64), predicted)
+            ids = nv + np.cumsum(keep, dtype=np.int64) - 1
+            remap[pos:pos + len(raw)][keep] = ids[keep].astype(np.uint32)
+            nv += int(keep.sum())
+        nt = 0
+        for pos, raw in self._iter_segments(rec.tri_segments, self._tris,
+                                            self.TREC, 3,
+                                            self.STREAM_RECORDS):
+            cnt = nat.count_tris_kept(raw, remap) if use_native else None
+            if cnt is None:
+                cnt = int((remap[raw[:, 0]] != 0xFFFFFFFF).sum())
+            nt += cnt
+        return remap, nv, nt
 
     def _eager_loop(self) -> None:
         e = self._eager
         t_eager = self._stats.variable("write.eager")
         while True:
-            coords = e["queue"].get()
-            if coords is None:
+            item = e["queue"].get()
+            if item is None:
                 return
+            coords, predicted = item
             rec = self.chunks.get(coords)
             if rec is None:
                 continue
             cpath = self._chunk_path(e["path"], rec.chunk_id)
             t0 = time.monotonic()
             try:
-                self._write_records(cpath, [rec], [None], rec.num_vertices,
-                                    rec.num_triangles, e["writer_factory"])
+                if predicted is None or len(predicted) == 0:
+                    self._write_records(cpath, [rec], [None],
+                                        rec.num_vertices, rec.num_triangles,
+                                        e["writer_factory"])
+                else:
+                    remap, nv, nt = self._eager_pass_a(rec, predicted)
+                    self._write_records(cpath, [rec], [remap], nv, nt,
+                                        e["writer_factory"])
                 e["written"][coords] = cpath
             except BaseException as ex:  # fall back to the classic rewrite
                 log.warning(f"eager write of chunk {coords} failed "
@@ -205,17 +285,22 @@ class OOCMesher:
 
     def _eager_clean(self, coords, rec, pruned_arr) -> bool:
         """True when the chunk's eager file is already the correct final
-        output: written without error, and no pruned component owns any of
-        the chunk's clumps."""
+        output: written without error, and the final per-clump prune
+        decision equals the predicted one the file was written with (equal
+        decisions => identical remap => bitwise-identical bytes)."""
         e = self._eager
         if e is None or coords not in e.get("written", {}):
             return False
-        if pruned_arr is None:
-            return True
+        predicted = e.get("predicted", {}).get(coords)
         for a, b in rec.clump_ranges:
             ids = np.arange(a, b, dtype=np.int64)
-            roots = self.clumps.find_many(ids)
-            if np.isin(roots, pruned_arr).any():
+            if pruned_arr is None:
+                actual = np.zeros(len(ids), dtype=bool)
+            else:
+                actual = np.isin(self.clumps.find_many(ids), pruned_arr)
+            pred = (np.isin(ids, predicted) if predicted is not None
+                    else np.zeros(len(ids), dtype=bool))
+            if not np.array_equal(actual, pred):
                 return False
         return True
 
@@ -412,6 +497,7 @@ class OOCMesher:
         self._stats.counter("mesher.blocks").add(1)
         self._stats.counter("mesher.vertices").add(n_new)
         self._stats.counter("mesher.triangles").add(m)
+        self._vertices_total += n_new
 
     # ---------------------------------------------------------------- write
     def _finalize(self) -> None:

@@ -92,7 +92,8 @@ def _dispatch(padded, valid, bucket, cfg, caps, device,
 
 def _check_overflow(result: BlockResult, built, caps, counts=None,
                     check_index: bool = True, attempt: int = 0,
-                    grown: Optional[list] = None) -> bool:
+                    grown: Optional[list] = None,
+                    headroom: float = 1.0) -> bool:
     """Detect overflow against `built` — the caps the result's program was
     BUILT with — and grow the run's shared `caps` for the retry; returns
     True when a retry is needed (forces the diagnostic scalars — the sync
@@ -114,7 +115,12 @@ def _check_overflow(result: BlockResult, built, caps, counts=None,
     face pass), and interior corners are single-block-owned (a ~1 ulp
     K-sensitivity there cannot crack the mesh; see PLAN.md)."""
     def grow(cur, n):
-        n = int(n) + int(n) // 16 + 1   # 6% headroom against thrash
+        # `headroom` > 1 scales the measured demand before rounding: the
+        # sizing probe passes 1.5 because its max-splat bucket only
+        # predicts OTHER blocks' vertex/cell demand to ~±40% (measured on
+        # the 2M bench), and a mid-run miss costs an ~80 s recompile while
+        # cap slop costs ms/block.
+        n = int(int(n) * headroom) + int(n) // 16 + 1
         target = eighth_pow2_ceil(n)
         if attempt > 0:
             target = max(target, 2 * cur)
@@ -185,9 +191,17 @@ class PrefetchedResult:
     3-event async enqueueReadMesh (src/mesh.h:141-179). When the result
     carries a packed readback image (ops/block._pack_readback) only its live
     prefix travels: one quantized transfer, no key region. The count scalars
-    are pre-read."""
+    are pre-read.
 
-    def __init__(self, result: BlockResult, pack_fmt=None, counts=None):
+    `spec`, when given, is a speculative prefix slice whose d2h copy was
+    issued at DISPATCH time (spec_words wide): if the live data fits inside
+    it, the transfer is already done/in flight and no fresh slice program or
+    host round trip is needed — on this tunnel every transfer the host has
+    to initiate after a counts sync costs ~35 ms fixed + a 23 ms scalar
+    round trip (measured, tools/bench_d2h)."""
+
+    def __init__(self, result: BlockResult, pack_fmt=None, counts=None,
+                 spec=None, spec_words: int = 0):
         from mlsgpu_tpu.ops.block import fetch_counts
         if counts is None:
             counts = fetch_counts(result)
@@ -212,7 +226,17 @@ class PrefetchedResult:
         self.packed = None
         if getattr(result, "packed", None) is not None and pack_fmt is not None:
             total = pack_fmt.live_words(counts)
-            self.packed = prefix(result.packed, total)
+            stats = get_registry()
+            if spec is not None and total <= spec_words:
+                # the bytes are already travelling; rebuild reads only the
+                # live regions, the speculative tail is ignored
+                self.packed = spec
+                stats.counter("readback.specHits").add(1)
+            else:
+                self.packed = prefix(result.packed, total)
+                if spec is not None:
+                    stats.counter("readback.specMisses").add(1)
+            self.live_words = total
             return
         self.vertices = prefix(result.vertices, nv)
         self.triangles = prefix(result.triangles, self.num_indices // 3)
@@ -378,7 +402,8 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
                 p_grown: list = []
                 if not _check_overflow(result, built, caps,
                                        check_index=(rb_mode != "codes"),
-                                       attempt=attempt, grown=p_grown):
+                                       attempt=attempt, grown=p_grown,
+                                       headroom=1.5):
                     break
                 stats.counter("streamer.probeRetries").add(1)
                 log.info(f"sizing probe: cap overflow, retry "
@@ -446,9 +471,30 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
     dispatch_seq = 0
     compute_worker = timeplot.Worker("device")
 
+    # Speculative readback window (u32 words): the d2h copy of this much of
+    # the packed buffer is issued at DISPATCH time, before the counts are
+    # known — when the live data fits, the force path needs no host-
+    # initiated transfer at all (~35 ms fixed + 23 ms counts round trip per
+    # block on this tunnel, tools/bench_d2h). Adapts to 1.25x the largest
+    # live size seen, eighth-pow2 quantized (few distinct slice programs);
+    # starts at 0 so the first blocks calibrate it.
+    spec_state = {"words": 0}
+
+    def _speculate(result):
+        if spec_state["words"] <= 0 or getattr(result, "packed", None) is None:
+            return None, 0
+        try:
+            result.counts.copy_to_host_async()
+            w = min(spec_state["words"], result.packed.shape[0])
+            spec = result.packed[:w]
+            spec.copy_to_host_async()
+            return spec, w
+        except Exception:
+            return None, 0
+
     def force(entry):
         from mlsgpu_tpu.ops.block import fetch_counts, pack_format
-        b, padded, valid, pts, result, device, di, built = entry
+        b, padded, valid, pts, result, device, di, built, spec, specw = entry
         in_use[di] -= 1
         with timeplot.Action("compute", compute_worker,
                              stats.variable("device.time")):
@@ -468,6 +514,7 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
                 result = _dispatch(padded, valid, b, cfg, caps, device,
                                    device_filter, points=pts)
                 counts = fetch_counts(result)
+                spec, specw = None, 0  # the retried program replaced it
         # The pack layout is the one the ACCEPTED result's program used —
         # built.vertex_cap, not the live caps (which may have grown past an
         # index-width threshold while this block was in flight).
@@ -475,7 +522,15 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
                else None if rb_mode == "raw"
                else pack_format(cfg.levels, cfg.subsampling,
                                 built.vertex_cap))
-        return b, PrefetchedResult(result, pack_fmt=fmt, counts=counts)
+        out = PrefetchedResult(result, pack_fmt=fmt, counts=counts,
+                               spec=spec, spec_words=specw)
+        live = getattr(out, "live_words", 0)
+        if live:
+            packed_cap = result.packed.shape[0]
+            spec_state["words"] = max(
+                spec_state["words"],
+                _prefix_size(min(int(live * 1.25), packed_cap), packed_cap))
+        return b, out
 
     try:
         while True:
@@ -500,7 +555,9 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
                 built = copy.copy(caps)
                 result = _dispatch(padded, valid, b, cfg, caps, device,
                                    device_filter, points=pts)
-            inflight.append((b, padded, valid, pts, result, device, di, built))
+                spec, specw = _speculate(result)
+            inflight.append((b, padded, valid, pts, result, device, di, built,
+                             spec, specw))
             pk_mesh.set(len(inflight) * mesh_bytes)
             if len(inflight) > window:
                 out = force(inflight.popleft())

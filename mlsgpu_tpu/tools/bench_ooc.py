@@ -101,6 +101,16 @@ def main(argv=None):
     p.add_argument("--splats", type=int, default=100_000_000)
     p.add_argument("--out", default="/tmp/mlsgpu_ooc/out.ply")
     p.add_argument("--levels", type=int, default=6)
+    p.add_argument("--grid-scale", type=float, default=1.0,
+                   help="grid spacing multiplier (>1 = coarser mesh; config-4"
+                        " 1B runs need ~2-3x to fit output+spill on disk)")
+    p.add_argument("--checkpoint", default=None,
+                   help="run all compute passes, then serialize mesher state"
+                        " to PATH instead of writing (config-4 protocol:"
+                        " checkpoint midway, then --resume finishes)")
+    p.add_argument("--resume", default=None,
+                   help="skip compute; load mesher state from PATH and"
+                        " perform only the final write")
     p.add_argument("--mem-blobs", default="256M")
     p.add_argument("--mem-load-splats", default="256M")
     p.add_argument("--mem-host-splats", default="512M")
@@ -119,7 +129,7 @@ def main(argv=None):
     from mlsgpu_tpu.utils.statistics import get_registry
 
     src = ProceduralScanSource(args.splats)
-    spacing = src.splat_radius / 3.0
+    spacing = src.splat_radius / 3.0 * args.grid_scale
     cfg = ReconstructConfig(
         fit_grid=float(spacing), fit_smooth=1.0, fit_prune=0.02,
         levels=args.levels, subsampling=3,
@@ -131,12 +141,19 @@ def main(argv=None):
         mem_mesh=parse_capacity(args.mem_mesh),
         mem_reorder=parse_capacity(args.mem_reorder),
         output_split_size=parse_capacity(args.split_size),
+        checkpoint=args.checkpoint,
         progress=True,
     )
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
 
     t0 = time.monotonic()
-    files = reconstruct(src, cfg, args.out)
+    if args.resume:
+        from mlsgpu_tpu.pipeline.reconstruct import resume
+        files = resume(args.resume, cfg, args.out)
+    else:
+        files = reconstruct(src, cfg, args.out)
+        if args.checkpoint:
+            files = [args.checkpoint]
     elapsed = time.monotonic() - t0
 
     rss = peak_rss_bytes()

@@ -275,25 +275,15 @@ class TestEagerChunkWrite:
             np.testing.assert_array_equal(ve, vc)
             np.testing.assert_array_equal(te, tc)
 
-    def test_pruned_chunk_rewritten(self, tmp_path):
-        """Debris that pruning removes makes its chunk's eager file stale;
-        write() must detect it (roots-of-clump-ranges) and rewrite. The
-        output must equal the non-eager run's bitwise."""
-        from mlsgpu_tpu.utils.statistics import get_registry
+    def _debris_source(self):
         rng = np.random.default_rng(11)
         sphere = oracle.sphere_cloud(CENTER, RADIUS, 12000, 0.3, rng)
         # a tiny separate blob: its own component, < fit_prune of vertices
         debris = oracle.sphere_cloud(CENTER + np.array([0, 0, RADIUS + 1.5]),
                                      0.4, 300, 0.25, rng)
-        src = SequenceSource(np.concatenate([sphere, debris]))
-        before = get_registry().counter("write.eagerDirty").get()
-        files_e = reconstruct(src, self._split_cfg(fit_prune=0.05),
-                              str(tmp_path / "e.ply"))
-        dirty = get_registry().counter("write.eagerDirty").get() - before
-        assert dirty > 0, "fixture no longer drives the pruning-dirty path"
-        files_c = reconstruct(src, self._split_cfg(fit_prune=0.05,
-                                                   eager_write=False),
-                              str(tmp_path / "c.ply"))
+        return SequenceSource(np.concatenate([sphere, debris]))
+
+    def _assert_bitwise_and_debris_pruned(self, files_e, files_c):
         all_v = []
         for fe, fc in zip(files_e, files_c):
             ve, te = ply.read_mesh(fe)
@@ -306,6 +296,50 @@ class TestEagerChunkWrite:
         v = np.concatenate(all_v)
         r = np.linalg.norm(v - CENTER, axis=1)
         assert r.max() < RADIUS + 1.0
+
+    def test_predicted_prune_keeps_chunks_clean(self, tmp_path):
+        """Pruned debris no longer dirties its chunk: the eager write
+        predicts the per-clump prune decision (tiny component vs scaled
+        threshold), write() verifies the prediction and reuses the file.
+        Output must still equal the non-eager run's bitwise (measured
+        rationale: the nothing-pruned speculation left 5/8 chunks dirty on
+        a 10M run — pipeline/mesher.py _predict_pruned)."""
+        from mlsgpu_tpu.utils.statistics import get_registry
+        src = self._debris_source()
+        reg = get_registry()
+        before_d = reg.counter("write.eagerDirty").get()
+        before_c = reg.counter("write.eagerClean").get()
+        files_e = reconstruct(src, self._split_cfg(fit_prune=0.05),
+                              str(tmp_path / "e.ply"))
+        dirty = reg.counter("write.eagerDirty").get() - before_d
+        clean = reg.counter("write.eagerClean").get() - before_c
+        assert dirty == 0, "prediction missed: pruning dirtied a chunk"
+        assert clean > 0
+        files_c = reconstruct(src, self._split_cfg(fit_prune=0.05,
+                                                   eager_write=False),
+                              str(tmp_path / "c.ply"))
+        self._assert_bitwise_and_debris_pruned(files_e, files_c)
+
+    def test_mispredicted_chunk_rewritten(self, tmp_path, monkeypatch):
+        """A wrong prune prediction makes the chunk's eager file stale;
+        write() must detect the mismatch (per-clump decision comparison)
+        and rewrite classically. Forced deterministically by predicting
+        'nothing pruned' while pruning is active. Output must equal the
+        non-eager run's bitwise."""
+        from mlsgpu_tpu.pipeline.mesher import OOCMesher
+        from mlsgpu_tpu.utils.statistics import get_registry
+        monkeypatch.setattr(OOCMesher, "_predict_pruned",
+                            lambda self, rec: None)
+        src = self._debris_source()
+        before = get_registry().counter("write.eagerDirty").get()
+        files_e = reconstruct(src, self._split_cfg(fit_prune=0.05),
+                              str(tmp_path / "e.ply"))
+        dirty = get_registry().counter("write.eagerDirty").get() - before
+        assert dirty > 0, "fixture no longer drives the misprediction path"
+        files_c = reconstruct(src, self._split_cfg(fit_prune=0.05,
+                                                   eager_write=False),
+                              str(tmp_path / "c.ply"))
+        self._assert_bitwise_and_debris_pruned(files_e, files_c)
 
 
 @pytest.mark.slow
