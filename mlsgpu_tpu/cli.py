@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="octree subsampling shift [%(default)s]")
     a.add_argument("--leaf-cells", type=int, default=d.leaf_cells,
                    help="microblock size in cells [%(default)s]")
+    a.add_argument("--device-block-shift", type=int,
+                   default=d.device_block_shift,
+                   help="largest device dispatch: 2^shift corners per axis; "
+                        "bigger blocks stream as aligned sub-volumes "
+                        "[%(default)s]")
     a.add_argument("--max-device-splats", type=parse_capacity,
                    default=d.max_device_splats,
                    help="splat budget per device block [%(default)s]")
@@ -145,6 +150,7 @@ def config_from_args(args) -> ReconstructConfig:
         levels=args.levels,
         subsampling=args.subsampling,
         leaf_cells=args.leaf_cells,
+        device_block_shift=args.device_block_shift,
         max_device_splats=args.max_device_splats,
         tile_candidates=args.tile_candidates,
         device_threads=args.device_threads,

@@ -44,6 +44,13 @@ class ReconstructConfig:
     levels: int = 6                  # octree levels
     subsampling: int = 3             # log2 of leaf size in cells
     leaf_cells: int = 63             # microblock cap for bucketing
+    # Largest device dispatch: 2^shift corners per axis (the dense MLS
+    # corner field of one dispatch lives in HBM; 2^10 = 4.3 GiB f32).
+    # Bucket volumes larger than this stream through the device as aligned
+    # sub-volume dispatches — the TPU analogue of the reference's z-swathe
+    # streaming of one block (src/marching.cpp:783-823, src/marching.h:67-80),
+    # which is how it reaches its 2^13 block bound on bounded device memory.
+    device_block_shift: int = 10
     max_split: int = 2 ** 30         # max subdivisions in one bucketing level
 
     # --- memory budgets (host, bytes; reference defaults
@@ -110,24 +117,36 @@ class ReconstructConfig:
             raise InvalidOption("fit_boundary_limit must be positive")
         if self.fit_shape not in ("sphere", "plane"):
             raise InvalidOption("fit_shape must be sphere or plane")
-        if self.levels < 1 or self.levels > 10:
-            raise InvalidOption("levels must be in 1..10")
+        if self.levels < 1 or self.levels > 12:
+            # Reference maxLevels = min(MAX_DIMENSION_LOG2 + 1,
+            # SplatTreeCL::MAX_LEVELS) (src/mlsgpu_core.cpp:411-419); with
+            # subsampling >= 3 the levels+subsampling bound below governs.
+            raise InvalidOption("levels must be in 1..12")
         if self.subsampling < 3:
             # The MLS tile is 8^3 corners = one leaf node; leaves must be at
             # least that big (reference subsamplingMin, src/mls.cpp:53-60).
             raise InvalidOption("subsampling must be >= 3")
-        if self.subsampling > 16 or self.levels + self.subsampling > 11:
-            # Honest device-block bound: the MLS corner field is dense in
-            # HBM (2^(levels+subsampling-1))^3 f32 = 4.3 GiB at the 1024^3
-            # limit (the reference instead streams z-swathes of an
-            # unbounded volume, src/marching.cpp:783-823, allowing 2^13 —
-            # a capability we bound rather than claim; larger models still
-            # work because bucketing splits them into <= 2^10 blocks).
+        if self.levels + self.subsampling > 14:
+            # The reference's own block bound: 2^(levels+subsampling-1)
+            # corners per axis <= 2^13 (Marching::MAX_DIMENSION_LOG2,
+            # src/marching.h:117-141).
             raise InvalidOption(
-                "levels + subsampling must be <= 11: device blocks are "
+                "levels + subsampling must be <= 14: blocks are "
                 f"2^(levels+subsampling-1) (= 2^{self.levels + self.subsampling - 1}) "
-                "corners per axis and the dense corner field must fit HBM "
-                "(1024^3 f32 = 4.3 GiB)")
+                "corners per axis and vertex keys carry 13-bit block-local "
+                "coordinates (the reference's Marching::MAX_DIMENSION_LOG2)")
+        if not (4 <= self.device_block_shift <= 10):
+            # The dense MLS corner field of one device dispatch must fit
+            # HBM ((2^10)^3 f32 = 4.3 GiB). Volumes larger than this are
+            # streamed through the device as aligned sub-volumes (the TPU
+            # analogue of the reference's z-swathe streaming,
+            # src/marching.cpp:783-823); see device_block_cells.
+            raise InvalidOption("device_block_shift must be in 4..10")
+        if self.subsampling > self.device_block_shift:
+            raise InvalidOption(
+                "subsampling must not exceed device_block_shift "
+                f"({self.device_block_shift}): one device sub-volume must "
+                "hold at least one leaf")
         if self.leaf_cells < 1:
             raise InvalidOption("leaf_cells must be >= 1")
         # budget ordering (reference validateOptions,
@@ -154,9 +173,29 @@ class ReconstructConfig:
         return self.block_corners - 1
 
     @property
+    def device_shift(self) -> int:
+        """log2 corners per axis of one device dispatch: the block shift,
+        clamped to the device sub-volume bound (device_block_shift)."""
+        return min(self.levels + self.subsampling - 1,
+                   self.device_block_shift)
+
+    @property
+    def device_levels(self) -> int:
+        """The `levels` the device step runs at (>= 1 by validate)."""
+        return self.device_shift - self.subsampling + 1
+
+    @property
+    def device_block_cells(self) -> int:
+        """Cells per axis of one device dispatch region. Bucketing bounds
+        regions to this, so blocks requested above the device bound (up to
+        the reference's 2^13) stream as multiple aligned sub-volume
+        dispatches welded by the ordinary external-key machinery."""
+        return (1 << self.device_shift) - 1
+
+    @property
     def micro_cells(self) -> int:
-        """Microblock size for bucketing = min(leaf_cells, block_cells)."""
-        return min(self.leaf_cells, self.block_cells)
+        """Microblock size for bucketing = min(leaf_cells, device block)."""
+        return min(self.leaf_cells, self.device_block_cells)
 
     @property
     def boundary_factor(self) -> float:

@@ -571,13 +571,13 @@ def reconstruct_distributed(source: SplatSource, cfg: ReconstructConfig,
         log.error("test hook: rank exiting (MLSGPU_TEST_DIE_RANK)")
         os._exit(7)
 
-    chunk_cells = cfg.block_cells
+    chunk_cells = cfg.device_block_cells
     if cfg.output_split_size:
         chunk_cells = round_up(
             int(np.ceil(np.sqrt(cfg.output_split_size / 760.0))),
-            cfg.block_cells)
+            cfg.device_block_cells)
     buckets = bucket_mod.make_buckets(
-        info, cfg.block_cells, cfg.micro_cells,
+        info, cfg.device_block_cells, cfg.micro_cells,
         max_splats=min(cfg.max_device_splats, cfg.mem_bucket_splats // 32),
         chunk_cells=chunk_cells, max_split=cfg.max_split)
 

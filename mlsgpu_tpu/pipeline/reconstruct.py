@@ -55,7 +55,7 @@ def default_occ_tile_cap(cfg) -> int:
     """Initial occupied-tile cap: an eighth of the tile grid (a surface
     crosses a few percent of tiles; 1/8 leaves growth headroom without
     wasting grid steps)."""
-    tpa = (cfg.block_cells + 1) // 8
+    tpa = (cfg.device_block_cells + 1) // 8
     num_tiles = tpa ** 3
     return max(min(num_tiles, 512), num_tiles // 8)
 
@@ -66,7 +66,7 @@ def default_march_tile_cap(cfg) -> int:
     set slightly), so give it the same 1/8-of-grid start as the MLS cap;
     generate() clamps to the true tile count, so small test blocks never
     overshoot."""
-    g = -(-cfg.block_cells // 8)
+    g = -(-cfg.device_block_cells // 8)
     num_tiles = g ** 3
     return max(min(num_tiles, 512), num_tiles // 8)
 
@@ -83,7 +83,7 @@ def _caps_cache_key(cfg) -> str:
     # should not inflate the programs of an unrelated small run. v2:
     # eighth-pow2 near-fit growth (old pow2-grown entries must not pin the
     # fat caps).
-    return (f"v2.L{cfg.levels}.S{cfg.subsampling}.{cfg.fit_shape}"
+    return (f"v2.L{cfg.device_levels}.S{cfg.subsampling}.{cfg.fit_shape}"
             f".M{cfg.max_device_splats}")
 
 
@@ -191,7 +191,7 @@ def run_block(splats_padded: np.ndarray, valid: np.ndarray,
         result = block_step(
             **args,
             boundary_factor=float(cfg.boundary_factor),
-            levels=cfg.levels, subsampling=cfg.subsampling,
+            levels=cfg.device_levels, subsampling=cfg.subsampling,
             max_candidates=caps.max_candidates,
             cell_cap=caps.cell_cap, vertex_cap=caps.vertex_cap,
             index_cap=caps.index_cap, fit_shape=cfg.fit_shape,
@@ -302,12 +302,12 @@ def reconstruct(source: SplatSource, cfg: ReconstructConfig, output: str,
         from mlsgpu_tpu.utils.misc import round_up
         chunk_cells = round_up(
             int(np.ceil(np.sqrt(cfg.output_split_size / 760.0))),
-            cfg.block_cells)
+            cfg.device_block_cells)
     # --mem-bucket-splats bounds splat bytes per bucket alongside the device
     # cap (reference maxBucketSplats, src/mlsgpu_core.cpp:130-137).
     max_splats = min(cfg.max_device_splats, cfg.mem_bucket_splats // 32)
     buckets = bucket_mod.make_buckets(
-        info, cfg.block_cells, cfg.micro_cells,
+        info, cfg.device_block_cells, cfg.micro_cells,
         max_splats=max_splats, chunk_cells=chunk_cells,
         max_split=cfg.max_split)
 

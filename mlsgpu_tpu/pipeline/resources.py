@@ -21,7 +21,7 @@ I32 = 4
 
 def estimate_block_usage(cfg: ReconstructConfig) -> Dict[str, int]:
     """Approximate peak HBM bytes for one jitted block step."""
-    b = cfg.block_corners
+    b = 1 << cfg.device_shift  # corners of one device dispatch
     cells = (b - 1) ** 3
     npad = next_pow2(cfg.max_device_splats)
     entries = 8 * npad

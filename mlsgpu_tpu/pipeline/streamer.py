@@ -66,7 +66,7 @@ def _dispatch(padded, valid, bucket, cfg, caps, device,
     result = step(
         **args,
         boundary_factor=float(cfg.boundary_factor),
-        levels=cfg.levels, subsampling=cfg.subsampling,
+        levels=cfg.device_levels, subsampling=cfg.subsampling,
         max_candidates=caps.max_candidates,
         cell_cap=caps.cell_cap, vertex_cap=caps.vertex_cap,
         index_cap=caps.index_cap, fit_shape=cfg.fit_shape,
@@ -76,7 +76,7 @@ def _dispatch(padded, valid, bucket, cfg, caps, device,
         march_tile_cap=caps.march_tile_cap,
         device_filter=device_filter,
         readback=resolve_readback(getattr(cfg, "readback", "auto"),
-                                  cfg.levels, cfg.subsampling))
+                                  cfg.device_levels, cfg.subsampling))
     t_call = time.monotonic() - t_call
     stats.variable("dispatch.call").add(t_call)
     if t_call > 3.0:
@@ -349,12 +349,12 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
     # neither quantized layout applies — raw arrays travel (as before).
     rb_mode = ("raw" if device_filter is not None
                else resolve_readback(getattr(cfg, "readback", "auto"),
-                                     cfg.levels, cfg.subsampling))
+                                     cfg.device_levels, cfg.subsampling))
     if rb_mode == "codes":
-        cfmt = codes_format(cfg.levels, cfg.subsampling)
+        cfmt = codes_format(cfg.device_levels, cfg.subsampling)
         mesh_bytes = 4 * cfmt.total_words(caps.cell_cap, caps.vertex_cap)
     else:
-        fmt = pack_format(cfg.levels, cfg.subsampling, caps.vertex_cap)
+        fmt = pack_format(cfg.device_levels, cfg.subsampling, caps.vertex_cap)
         mesh_bytes = 4 * (fmt.total_words(caps.index_cap, caps.vertex_cap)
                           if fmt is not None
                           else caps.index_cap + 5 * caps.vertex_cap)
@@ -520,7 +520,7 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
         # index-width threshold while this block was in flight).
         fmt = (cfmt if rb_mode == "codes"
                else None if rb_mode == "raw"
-               else pack_format(cfg.levels, cfg.subsampling,
+               else pack_format(cfg.device_levels, cfg.subsampling,
                                 built.vertex_cap))
         out = PrefetchedResult(result, pack_fmt=fmt, counts=counts,
                                spec=spec, spec_words=specw)

@@ -43,7 +43,7 @@ def main():
         tile_candidates=384, progress=False)
     src = SequenceSource(splats)
     info = blobs_mod.compute_blobs(src, cfg.fit_grid, cfg.micro_cells)
-    buckets = bucket_mod.make_buckets(info, cfg.block_cells, cfg.micro_cells,
+    buckets = bucket_mod.make_buckets(info, cfg.device_block_cells, cfg.micro_cells,
                                       max_splats=cfg.max_device_splats)
     caps = load_cached_caps(cfg)
 

@@ -6,8 +6,12 @@ extras/plymanifold.cpp:152-186: a mesh is manifold(-with-boundary) when
 1. no triangle is degenerate (repeated vertex),
 2. every *directed* edge appears at most once (consistent orientation and
    at most two triangles per undirected edge),
-3. the triangles around every vertex form a single fan (vertex link is a
-   simple path or cycle).
+3. the triangles around every vertex form either a single closed ring or a
+   disjoint collection of open arcs (reference test/manifold.h:78-87: this
+   is deliberately weaker than the topological definition — a vertex may
+   sit on multiple boundary loops, which genuinely happens on the cut
+   planes of chunked outputs — but interior pinches, mixed
+   interior/boundary links, and multi-ring tunnels all still fail).
 
 Also reports per-component metadata (vertex/triangle counts, boundary edges,
 Euler characteristic) used by tests and the `plymanifold` CLI tool.
@@ -107,8 +111,16 @@ def check_manifold(vertices: np.ndarray, triangles: np.ndarray) -> ManifoldRepor
         np.concatenate([slots(ev0, pair_a), slots(ev1, pair_a)]),
         np.concatenate([slots(ev0, pair_b), slots(ev1, pair_b)]))
     roots = uf.roots()
-    # Distinct fan-roots per vertex group must be 1: sort (vertex, root)
-    # and flag any second distinct root inside a group.
+    # Per-vertex link classification by counting (reference
+    # test/manifold.h:148-219 semantics, vectorized): with T incident
+    # triangles, F fan components (union-find over shared edges at the
+    # vertex), E distinct incident edges and S incident edges used by only
+    # one triangle, an all-open-arcs link has E == T + F and S == 2F (each
+    # arc contributes two once-used end edges) and a single closed ring has
+    # F == 1, E == T, S == 0. Anything else — an interior pinch (multiple
+    # rings, "tunnels between interior regions") or a mixed
+    # interior/boundary link — fails. Multiple open arcs are ALLOWED: they
+    # occur on chunk cut planes (a vertex on several boundary loops).
     ord2 = np.lexsort((roots, inc_v))
     v2 = inc_v[ord2]
     r2 = roots[ord2]
@@ -116,10 +128,23 @@ def check_manifold(vertices: np.ndarray, triangles: np.ndarray) -> ManifoldRepor
     newgrp[1:] = v2[1:] != v2[:-1]
     newroot = np.ones(len(v2), dtype=bool)
     newroot[1:] = newgrp[1:] | (r2[1:] != r2[:-1])
-    bad = newroot & ~newgrp
+    fans = np.bincount(v2[newroot], minlength=nv)          # F
+    tcount = np.diff(vstarts)                              # T
+    e0 = uniq // nv
+    e1 = uniq % nv
+    ecount = (np.bincount(e0, minlength=nv)
+              + np.bincount(e1, minlength=nv))             # E
+    s_mask = counts == 1
+    scount = (np.bincount(e0[s_mask], minlength=nv)
+              + np.bincount(e1[s_mask], minlength=nv))     # S
+    ok_arcs = (ecount == tcount + fans) & (scount == 2 * fans)
+    ok_ring = (fans == 1) & (ecount == tcount) & (scount == 0)
+    bad = tcount.astype(bool) & ~(ok_arcs | ok_ring)
     if bad.any():
-        v = int(v2[np.nonzero(bad)[0][0]])
-        return fail(f"vertex {v} link is not a single fan")
+        v = int(np.nonzero(bad)[0][0])
+        return fail(
+            f"vertex {v} link is neither a single ring nor disjoint open "
+            "arcs")
 
     # Components + Euler characteristic (bincount over compressed roots).
     cuf = UnionFind(nv)

@@ -57,14 +57,42 @@ def test_three_triangles_per_edge_fails():
     assert not rep.is_manifold
 
 
-def test_bowtie_pinch_fails():
-    """Two fans meeting only at vertex 0 (a pinched vertex link)."""
+def test_open_bowtie_allowed():
+    """Two OPEN fans meeting at vertex 0: allowed by the reference's
+    manifold definition (test/manifold.h:82-87 — a vertex may sit on
+    multiple boundary loops; this occurs on chunk cut planes)."""
     verts = np.zeros((5, 3), np.float32)
     verts[:, 0] = np.arange(5)
     tris = np.array([[0, 1, 2], [0, 3, 4]], np.int64)
     rep = check_manifold(verts, tris)
+    assert rep.is_manifold
+    assert rep.num_boundary_edges == 6
+
+
+def _tet(a, b, c, d):
+    return [[a, b, c], [a, c, d], [a, d, b], [b, d, c]]
+
+
+def test_closed_bowtie_pinch_fails():
+    """Two tetrahedra sharing one vertex: two closed rings at the shared
+    vertex ('tunnels between interior regions', test/manifold.h:204-218)."""
+    verts = np.zeros((7, 3), np.float32)
+    verts[:, 0] = np.arange(7)
+    tris = np.array(_tet(0, 1, 2, 3) + _tet(0, 4, 5, 6), np.int64)
+    rep = check_manifold(verts, tris)
     assert not rep.is_manifold
-    assert "single fan" in rep.reason
+    assert "vertex 0" in rep.reason
+
+
+def test_mixed_interior_boundary_link_fails():
+    """A closed ring plus a dangling triangle at one vertex ('both in the
+    interior and on the boundary', test/manifold.h:198-203)."""
+    verts = np.zeros((6, 3), np.float32)
+    verts[:, 0] = np.arange(6)
+    tris = np.array(_tet(0, 1, 2, 3) + [[0, 4, 5]], np.int64)
+    rep = check_manifold(verts, tris)
+    assert not rep.is_manifold
+    assert "vertex 0" in rep.reason
 
 
 def test_degenerate_triangle_fails():

@@ -166,12 +166,21 @@ def test_config_validation_and_capacity():
     bad2 = ReconstructConfig(subsampling=2)
     with pytest.raises(InvalidOption):
         bad2.validate()
-    # Honest block-size bound: dense corner field must fit HBM (the
-    # reference instead swathe-streams to 2^13, src/marching.cpp:783-823 —
-    # a capability we bound, not claim; see COVERAGE.md limits table).
-    ReconstructConfig(levels=8, subsampling=3).validate()  # 2^10: ok
-    big = ReconstructConfig(levels=9, subsampling=3)       # 2^11: too big
-    with pytest.raises(InvalidOption, match="corner field"):
-        big.validate()
+    # Block sizes up to the reference's 2^13 bound (Marching::
+    # MAX_DIMENSION_LOG2, src/marching.h:117-141) are accepted; volumes
+    # beyond device_block_shift stream as aligned sub-volume dispatches
+    # (the z-swathe streaming analogue, src/marching.cpp:783-823).
+    ReconstructConfig(levels=8, subsampling=3).validate()   # 2^10: one dispatch
+    big = ReconstructConfig(levels=11, subsampling=3)       # 2^13: streamed
+    big.validate()
+    assert big.device_shift == 10 and big.device_block_cells == 1023
+    assert big.device_levels == 8
+    with pytest.raises(InvalidOption, match="levels \\+ subsampling"):
+        ReconstructConfig(levels=10, subsampling=5).validate()  # 2^14: too big
+    with pytest.raises(InvalidOption, match="device_block_shift"):
+        ReconstructConfig(device_block_shift=11).validate()
+    with pytest.raises(InvalidOption, match="device_block_shift"):
+        ReconstructConfig(subsampling=7, levels=3,
+                          device_block_shift=6).validate()
     with pytest.raises(InvalidOption):
         ReconstructConfig(scatter="pull").validate()

@@ -162,6 +162,28 @@ class TestEndToEnd:
         resume(ckpt, cfg2, out)
         check_sphere_output(out)
 
+    def test_large_block_streams_as_subvolumes(self, tmp_path):
+        """Blocks above the device sub-volume bound (component #33, the
+        reference's z-swathe streaming of one block, src/marching.cpp:783-823,
+        src/marching.h:117-141): a levels+subsampling block LARGER than
+        device_block_shift streams through the device as aligned sub-volume
+        dispatches. The decomposition is the bucketing lattice itself, so the
+        output must be BITWISE IDENTICAL to a run whose block size equals the
+        device bound — and the mesh closed (no sub-volume seams)."""
+        src = make_sphere_source()
+        # levels=5 -> 2^7-corner blocks; device bound 2^5 -> 27 sub-volumes
+        big = small_config(levels=5, device_block_shift=5)
+        ref = small_config(levels=3)  # block size == device bound
+        out1 = str(tmp_path / "streamed.ply")
+        out2 = str(tmp_path / "direct.ply")
+        reconstruct(src, big, out1)
+        check_sphere_output(out1, closed=True)
+        reconstruct(src, ref, out2)
+        v1, t1 = ply.read_mesh(out1)
+        v2, t2 = ply.read_mesh(out2)
+        np.testing.assert_array_equal(v1, v2)
+        np.testing.assert_array_equal(t1, t2)
+
     def test_plane_fit_shape(self, tmp_path):
         cfg = small_config(levels=4, fit_shape="plane")
         out = str(tmp_path / "plane_fit.ply")
