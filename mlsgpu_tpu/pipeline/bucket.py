@@ -82,11 +82,38 @@ def microblock_counts(blobs: BlobArray, micro_lo: np.ndarray,
         acc = np.bincount(flat, weights=blobs.count[single],
                           minlength=counts.size)
         counts += acc.astype(np.int64).reshape(dims)
-    # Slow path: scatter into each covered microblock.
-    for i in np.nonzero(~single)[0]:
+    # Spanning blobs, vectorized per span offset: splat radii are a few
+    # cells, so spans are 0..1 microblocks per axis almost always — a
+    # handful of masked bincounts covers them all (a per-blob Python loop
+    # here cost minutes at 100M+ splats; see PLAN.md round 4).
+    multi = np.nonzero(~single)[0]
+    small = multi[(span[multi] < _SPAN_VEC).all(axis=1)]
+    if len(small):
+        mlo, msp = lo[small], span[small]
+        mw = blobs.count[small]
+        for off in _span_offsets(msp.max(axis=0)):
+            sel = (msp >= off).all(axis=1)
+            l = mlo[sel] + off
+            flat = (l[:, 0] * dims[1] + l[:, 1]) * dims[2] + l[:, 2]
+            counts += np.bincount(flat, weights=mw[sel],
+                                  minlength=counts.size
+                                  ).astype(np.int64).reshape(dims)
+    # Rare huge spans: per-blob slice add.
+    for i in multi[(span[multi] >= _SPAN_VEC).any(axis=1)]:
         l, h = lo[i], hi[i]
         counts[l[0]:h[0] + 1, l[1]:h[1] + 1, l[2]:h[2] + 1] += blobs.count[i]
     return counts
+
+
+_SPAN_VEC = 4  # per-axis span bound for the vectorized offset sweep
+
+
+def _span_offsets(max_span: np.ndarray):
+    """All (dx, dy, dz) offsets up to an inclusive per-axis span bound."""
+    for dx in range(int(max_span[0]) + 1):
+        for dy in range(int(max_span[1]) + 1):
+            for dz in range(int(max_span[2]) + 1):
+                yield np.array([dx, dy, dz], dtype=np.int64)
 
 
 def sparse_micro_counts(blobs: BlobArray, micro_lo: np.ndarray
@@ -103,7 +130,19 @@ def sparse_micro_counts(blobs: BlobArray, micro_lo: np.ndarray
 
     codes = [morton.encode_np(lo[single, 0], lo[single, 1], lo[single, 2])]
     weights = [blobs.count[single]]
-    for i in np.nonzero(~single)[0]:
+    # Spanning blobs, vectorized per span offset (see microblock_counts).
+    multi = np.nonzero(~single)[0]
+    small = multi[(span[multi] < _SPAN_VEC).all(axis=1)]
+    if len(small):
+        mlo = lo[small]
+        msp = span[small].astype(np.int64)
+        mw = blobs.count[small]
+        for off in _span_offsets(msp.max(axis=0)):
+            sel = (msp >= off).all(axis=1)
+            l = mlo[sel] + off.astype(np.uint64)
+            codes.append(morton.encode_np(l[:, 0], l[:, 1], l[:, 2]))
+            weights.append(mw[sel])
+    for i in multi[(span[multi] >= _SPAN_VEC).any(axis=1)]:
         l, h = lo[i], hi[i]
         xs = np.arange(l[0], h[0] + 1, dtype=np.uint64)
         ys = np.arange(l[1], h[1] + 1, dtype=np.uint64)
@@ -281,14 +320,43 @@ def assign_blobs(blobs: BlobArray, micro_lo: np.ndarray,
 
     tl = lo // step
     th = hi // step
-    single = (tl == th).all(axis=1)
+    tspan = th - tl
+    single = (tspan == 0).all(axis=1)
     ids = np.arange(len(lo), dtype=np.int64)
-    multi = ids[~single]
     tdim = np.maximum(th.max(axis=0) + 1, 1)
-    key = (tl[single, 0] * tdim[1] + tl[single, 1]) * tdim[2] + tl[single, 2]
+
+    # Expand every blob into (tile, id) pairs so each region only inspects
+    # its own tile's blobs. Tile-spanning blobs (rare: tiles are many
+    # microblocks wide) are expanded vectorized per span offset; a per-blob
+    # scan of them for every region cost O(R * B_multi) = minutes at 100M+
+    # splats (see PLAN.md round 4).
+    pair_keys = [(tl[single, 0] * tdim[1] + tl[single, 1]) * tdim[2]
+                 + tl[single, 2]]
+    pair_ids = [ids[single]]
+    multi = ids[~single]
+    small = multi[(tspan[multi] < _SPAN_VEC).all(axis=1)]
+    if len(small):
+        mtl, msp = tl[small], tspan[small]
+        for off in _span_offsets(msp.max(axis=0)):
+            sel = (msp >= off).all(axis=1)
+            t = mtl[sel] + off
+            pair_keys.append((t[:, 0] * tdim[1] + t[:, 1]) * tdim[2]
+                             + t[:, 2])
+            pair_ids.append(small[sel])
+    for i in multi[(tspan[multi] >= _SPAN_VEC).any(axis=1)]:
+        xs = np.arange(tl[i, 0], th[i, 0] + 1, dtype=np.int64)
+        ys = np.arange(tl[i, 1], th[i, 1] + 1, dtype=np.int64)
+        zs = np.arange(tl[i, 2], th[i, 2] + 1, dtype=np.int64)
+        gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
+        pair_keys.append((gx.ravel() * tdim[1] + gy.ravel()) * tdim[2]
+                         + gz.ravel())
+        pair_ids.append(np.full(gx.size, i, dtype=np.int64))
+
+    key = np.concatenate(pair_keys)
+    pid = np.concatenate(pair_ids)
     order = np.argsort(key, kind="stable")
     skey = key[order]
-    sids = ids[single][order]
+    sids = pid[order]
 
     out = []
     for rlo, size in regions:
@@ -301,8 +369,7 @@ def assign_blobs(blobs: BlobArray, micro_lo: np.ndarray,
             a = np.searchsorted(skey, k, side="left")
             b = np.searchsorted(skey, k, side="right")
             base = precise(sids[a:b], rlo, rhi)
-        extra = precise(multi, rlo, rhi) if len(multi) else multi
-        out.append(np.sort(np.concatenate([base, extra])))
+        out.append(np.sort(base))
     return out
 
 

@@ -310,6 +310,8 @@ def reconstruct(source: SplatSource, cfg: ReconstructConfig, output: str,
         info, cfg.device_block_cells, cfg.micro_cells,
         max_splats=max_splats, chunk_cells=chunk_cells,
         max_split=cfg.max_split)
+    from mlsgpu_tpu.utils.misc import malloc_trim
+    malloc_trim()  # bucketing's blob-expansion temporaries are GBs at 100M+
 
     mesher = mesher or OOCMesher(info.grid, prune=cfg.fit_prune,
                                  reorder_budget=cfg.mem_reorder)

@@ -31,10 +31,17 @@ from mlsgpu_tpu.io.splat_set import SplatSource, merge_ranges
 from mlsgpu_tpu.ops.block import BlockResult, block_step
 from mlsgpu_tpu.utils import logging as log
 from mlsgpu_tpu.utils import timeplot
+from mlsgpu_tpu.utils import misc
 from mlsgpu_tpu.utils.misc import next_pow2, eighth_pow2_ceil
 from mlsgpu_tpu.utils.statistics import get_registry
 
 _SENTINEL = object()
+
+# Return glibc-freed heap spans to the OS every N forced blocks: the
+# per-block host churn (h2d staging + decode + mesher scratch) otherwise
+# accretes as retained-free brk heap — measured ~28 MB/block at 1B scale
+# (utils.misc.malloc_trim).
+_TRIM_EVERY = 8
 
 
 def _pick_devices(num: int) -> List:
@@ -460,6 +467,7 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
     thread.start()
 
     inflight: deque = deque()
+    forced = 0
     # Spare-capacity scheduling (the reference's CopyGroup picks the device
     # with the most free queue slots, src/workers.cpp:315-351): dispatch to
     # the device with the fewest dispatched-but-unforced blocks, ties by
@@ -563,10 +571,14 @@ def stream_blocks(source: SplatSource, info, buckets: Sequence, cfg, caps,
                 out = force(inflight.popleft())
                 pk_host.add(-block_bytes)
                 yield out
+                forced += 1
+                if forced % _TRIM_EVERY == 0:
+                    misc.malloc_trim()
         while inflight:
             out = force(inflight.popleft())
             pk_host.add(-block_bytes)
             yield out
+        misc.malloc_trim()
     finally:
         cancel.set()
         thread.join()
