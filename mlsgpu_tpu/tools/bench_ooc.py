@@ -53,7 +53,22 @@ class ProceduralScanSource(SplatSource):
         return self._n
 
     def _gen(self, a: int, b: int) -> np.ndarray:
-        ids = np.arange(a, b, dtype=np.int64)
+        return self._gen_ids(np.arange(a, b, dtype=np.int64))
+
+    def _gen_ids(self, ids: np.ndarray) -> np.ndarray:
+        # Chunk the vectorized generation: the f64 temporaries of a multi-M
+        # id batch blow the cache hierarchy (measured 243 ns/splat at 414k
+        # ids vs 1132 ns/splat at 8.4M on this host), so bound the working
+        # set and write into one preallocated output.
+        step = 512 * 1024
+        if len(ids) <= step:
+            return self._gen_ids_block(ids)
+        out = np.empty((len(ids), 8), dtype=np.float32)
+        for s in range(0, len(ids), step):
+            out[s:s + step] = self._gen_ids_block(ids[s:s + step])
+        return out
+
+    def _gen_ids_block(self, ids: np.ndarray) -> np.ndarray:
         # lat-long sweep: band = latitude row, position in band = longitude
         band = ids * self._bands // self._n
         in_band = ids - band * self._n // self._bands
@@ -69,10 +84,10 @@ class ProceduralScanSource(SplatSource):
         # with scanline coherence. Uniform-in-theta banding oversamples the
         # poles ~1/sin(theta), which blows the per-tile candidate cap (same
         # fix as bench.py's cloud).
-        cos_t = 1.0 - 2.0 * (band + 0.5 + 0.9 * j1) / self._bands
-        theta = np.arccos(np.clip(cos_t, -1.0, 1.0))
+        ct = np.clip(1.0 - 2.0 * (band + 0.5 + 0.9 * j1) / self._bands,
+                     -1.0, 1.0)
         phi = (in_band + 0.5 + 0.9 * j2) / band_len * 2 * np.pi
-        st, ct = np.sin(theta), np.cos(theta)
+        st = np.sqrt(1.0 - ct * ct)  # sin(arccos(ct)), minus the trig
         v = np.stack([st * np.cos(phi), st * np.sin(phi), ct], axis=1)
         out = np.zeros((len(ids), 8), dtype=np.float32)
         out[:, 0:3] = (self._radius * v).astype(np.float32)
@@ -87,9 +102,15 @@ class ProceduralScanSource(SplatSource):
             yield start, self._gen(start, stop)
 
     def read_ranges(self, ranges):
-        if not len(ranges):
+        # One vectorized generation over all ranges: per-call numpy overhead
+        # (~140 us) dominates when a bucket reads thousands of short blob
+        # runs (measured 788 -> ~250 ns/splat at 1B-scale bucket loads).
+        ranges = list(ranges)
+        if not ranges:
             return np.empty((0, 8), np.float32)
-        return np.concatenate([self._gen(a, b) for a, b in ranges])
+        ids = np.concatenate(
+            [np.arange(a, b, dtype=np.int64) for a, b in ranges])
+        return self._gen_ids(ids)
 
 
 def peak_rss_bytes() -> int:
