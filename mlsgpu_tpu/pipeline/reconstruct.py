@@ -287,6 +287,8 @@ def reconstruct(source: SplatSource, cfg: ReconstructConfig, output: str,
                 filters=None, device_filter=None) -> List[str]:
     """Full single-host reconstruction. Returns the list of output files."""
     cfg.validate()
+    from mlsgpu_tpu.utils.misc import bound_mmap_threshold
+    bound_mmap_threshold()  # keep cycling per-block buffers off the brk heap
     stats = get_registry()
     show_progress = cfg.progress if show_progress is None else show_progress
 
@@ -380,6 +382,8 @@ def reconstruct(source: SplatSource, cfg: ReconstructConfig, output: str,
 def resume(checkpoint_path: str, cfg: ReconstructConfig, output: str,
            writer_factory=None) -> List[str]:
     """Write-only run from a checkpoint (--resume)."""
+    from mlsgpu_tpu.utils.misc import bound_mmap_threshold
+    bound_mmap_threshold()  # the streamed write cycles multi-MB slices too
     mesher = OOCMesher.resume(checkpoint_path)
     outputs = mesher.write(output, writer_factory=writer_factory,
                            split_size=cfg.output_split_size)

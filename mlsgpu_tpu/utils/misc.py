@@ -50,6 +50,30 @@ def malloc_trim() -> bool:
         return False
 
 
+def bound_mmap_threshold(limit: int = 128 * 1024) -> bool:
+    """Pin glibc's M_MMAP_THRESHOLD so multi-MB buffers stay mmap-backed.
+
+    glibc adapts the mmap threshold upward (to 32 MB) whenever an mmap'd
+    chunk is freed, after which the pipeline's cycling per-block buffers
+    (~13 MB splat loads, readback scratch) are served from the brk heap.
+    Freed mid-heap chunks can never be returned to the OS (malloc_trim only
+    releases the top span), so at 1B-splat scale the heap ballooned to
+    ~31 GB of dead space (measured round 4, /proc/smaps: 31.4 GB [heap]
+    against a ~5 GB live set). Pinning the threshold via mallopt also
+    disables the dynamic adjustment, so every large buffer is munmap'd
+    straight back to the OS on free. Costs page-fault zeroing per alloc —
+    noise against ~1 s/block. No-op (False) on non-glibc platforms."""
+    global _LIBC
+    try:
+        if _LIBC is None:
+            import ctypes
+            _LIBC = ctypes.CDLL("libc.so.6")
+        M_MMAP_THRESHOLD = -3
+        return bool(_LIBC.mallopt(M_MMAP_THRESHOLD, int(limit)))
+    except Exception:
+        return False
+
+
 def next_pow2(n: int) -> int:
     """Smallest power of two >= max(n, 1)."""
     n = max(int(n), 1)
