@@ -190,35 +190,13 @@ def main():
     # reference compiles kernel unit tests into every perCommit run,
     # test/test_mls.cpp:59-130). A gate failure is a result, not a crash.
     import jax
+    gate_status = "n/a"
     if jax.default_backend() != "cpu" and not os.environ.get("BENCH_SKIP_GATE"):
-        # Run the gate in a BOUNDED subprocess: a correctness failure kills
-        # the bench (that is the point), but a tunnel stall during the
-        # gate's compile must not eat the whole bench budget (observed: a
-        # 60s gate once took 2014s through a degraded tunnel). The compile
-        # cache is shared, so a warm gate costs seconds.
         gate_timeout = float(os.environ.get("BENCH_GATE_TIMEOUT", 900))
-        t0 = time.monotonic()
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-m", "mlsgpu_tpu.ops.kernel_gate"],
-                timeout=gate_timeout, capture_output=True, text=True)
-            if proc.returncode != 0:
-                _best["note"] = (f"kernel gate FAILED: "
-                                 f"{proc.stderr.strip()[-500:]}")
-                _emit()
-                return
-            gate_line = proc.stdout.strip().splitlines()[-1] if \
-                proc.stdout.strip() else "ok"
-            _best["kernel_gate"] = (f"OK ({time.monotonic() - t0:.1f}s): "
-                                    f"{gate_line[-200:]}")
-            print(f"# kernel gate {_best['kernel_gate']}", file=sys.stderr,
-                  flush=True)
-        except subprocess.TimeoutExpired:
-            _best["kernel_gate"] = (f"SKIPPED (exceeded {gate_timeout:.0f}s "
-                                    "bound — tunnel stall, not a "
-                                    "correctness verdict)")
-            print(f"# kernel gate {_best['kernel_gate']}", file=sys.stderr,
-                  flush=True)
+        gate_status = _run_gate(gate_timeout)
+        if gate_status == "failed":
+            _emit()
+            return
 
     splats, sr = make_cloud(N_SPLATS)
     # grid spacing ~= splat spacing/1.5 => splat radius ~4.5 cells
@@ -270,13 +248,22 @@ def main():
     _best["value"] = round(msplats, 3)
     _best["vs_baseline"] = round(msplats / BASELINE_MSPLATS, 3)
 
-    # Device-busy estimate (the reference's statistics_cl compute/transfer
-    # split, src/statistics_cl.h:43-93): sample per-stage device timing with
-    # fenced stages on a slice of the same cloud, then scale the per-block
-    # stage total to the measured run's block count. Answers "how busy was
-    # the chip" from the bench artifact alone.
+    # Device-busy fraction from the MEASURED run's own statistics (the
+    # reference harvests its real queue's events, src/statistics_cl.h:43-93
+    # — not a side sample): device.time sums the force-path waits on the
+    # device queue (compute + readback sync) inside the pass-1 wall, so the
+    # ratio is consistent with the run it annotates by construction.
+    # (BENCH_r04's estimate scaled a 1/5-size fenced side sample and
+    # clamped it to 1.0, hiding a 1.8x disagreement — VERDICT r4 weak #2.)
     reg = get_registry()
     n_blocks = reg.counter("bucket.count").get()
+    dev_sum = reg.variable("device.time").sum
+    pass1_sum = reg.variable("pass1.time").sum
+    if pass1_sum > 0:
+        _best["device_busy_est"] = round(dev_sum / pass1_sum, 3)
+        _best["device_busy_basis"] = ("measured run: device.time "
+                                      f"{dev_sum:.2f}s / pass1 "
+                                      f"{pass1_sum:.2f}s")
     if (jax.default_backend() != "cpu"
             and not os.environ.get("BENCH_SKIP_DEVICE_SAMPLE")):
         try:
@@ -285,11 +272,28 @@ def main():
                 per_block = sum(sample_stats.values())
                 _best["device_stage_s_per_block"] = {
                     k: round(v, 4) for k, v in sample_stats.items()}
-                _best["device_busy_est"] = round(
-                    min(per_block * n_blocks / elapsed, 1.0), 3)
+                # How well the fenced side sample predicts the measured
+                # run (reported, NOT clamped): >1 means the sample's pad
+                # shapes/fencing overstate the real per-block cost.
+                if pass1_sum > 0:
+                    _best["stage_sample_vs_run"] = round(
+                        per_block * n_blocks / pass1_sum, 2)
         except Exception as e:  # sampling must never kill the measurement
             print(f"# device-stage sample failed: {e}", file=sys.stderr,
                   flush=True)
+
+    # Verify the timed artifact itself (VERDICT r4: restore the hardware-
+    # correctness chain): manifold-check the measured run's mesh, and retry
+    # a SKIPPED kernel gate now that the compile cache is warm.
+    if not os.environ.get("BENCH_SKIP_MANIFOLD"):
+        _check_output_manifold(files)
+    if gate_status == "skipped":
+        retry_timeout = float(os.environ.get("BENCH_GATE_RETRY_TIMEOUT", 600))
+        print("# retrying skipped kernel gate (warm cache)", file=sys.stderr,
+              flush=True)
+        if _run_gate(retry_timeout) == "failed":
+            _emit()
+            return
 
     # secondary metric from BASELINE.md's protocol: grid-cell throughput
     from mlsgpu_tpu.pipeline.blobs import compute_blobs
@@ -304,6 +308,73 @@ def main():
     # The machine-readable line goes LAST on stdout so the driver's tail
     # always parses (BENCH_r03 lost its line behind the stats dump).
     _emit(final=True)
+
+
+def _run_gate(gate_timeout: float) -> str:
+    """Run the on-device kernel gate in a BOUNDED subprocess; returns
+    'ok' / 'failed' / 'skipped' and records the verdict in _best.
+
+    Bounded because a tunnel stall during the gate's compile must not eat
+    the whole bench budget (observed: a 60 s gate once took 2014 s through
+    a degraded tunnel); a correctness failure still kills the bench (that
+    is the point). The compile cache is shared, so a warm gate costs
+    seconds — which is why a SKIPPED gate is retried after the measured
+    run (VERDICT r4: a skip must not drop the correctness chain)."""
+    t0 = time.monotonic()
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "mlsgpu_tpu.ops.kernel_gate"],
+            timeout=gate_timeout, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        _best["kernel_gate"] = (f"SKIPPED (exceeded {gate_timeout:.0f}s "
+                                "bound — tunnel stall, not a "
+                                "correctness verdict)")
+        print(f"# kernel gate {_best['kernel_gate']}", file=sys.stderr,
+              flush=True)
+        return "skipped"
+    if proc.returncode != 0:
+        _best["note"] = (f"kernel gate FAILED: "
+                         f"{proc.stderr.strip()[-500:]}")
+        _best["kernel_gate"] = "FAILED"
+        return "failed"
+    gate_line = proc.stdout.strip().splitlines()[-1] if \
+        proc.stdout.strip() else "ok"
+    _best["kernel_gate"] = (f"OK ({time.monotonic() - t0:.1f}s): "
+                            f"{gate_line[-200:]}")
+    print(f"# kernel gate {_best['kernel_gate']}", file=sys.stderr,
+          flush=True)
+    return "ok"
+
+
+def _check_output_manifold(files) -> None:
+    """Manifold-check the very mesh the measured run produced (the
+    reference's plymanifold end-to-end oracle, extras/plymanifold.cpp:152-186)
+    and record the verdict in _best. The bench must verify its own artifact:
+    without this, a device-kernel regression would surface only as a
+    silently different mesh (VERDICT r4 weak #1)."""
+    t0 = time.monotonic()
+    try:
+        from mlsgpu_tpu.io.ply import read_mesh
+        from mlsgpu_tpu.utils.manifold import check_manifold
+        worst = None
+        tot_v = tot_t = 0
+        for f in files:
+            verts, tris = read_mesh(f)
+            tot_v += len(verts)
+            tot_t += len(tris)
+            rep = check_manifold(verts, tris)
+            if not rep.ok:
+                worst = rep
+                break
+        if worst is not None:
+            _best["manifold"] = f"FAILED: {worst.reason}"
+        else:
+            _best["manifold"] = (f"OK ({tot_v} verts / {tot_t} tris in "
+                                 f"{len(files)} file(s), "
+                                 f"{time.monotonic() - t0:.1f}s)")
+    except Exception as e:  # verification must never erase the measurement
+        _best["manifold"] = f"ERROR: {e}"
+    print(f"# manifold {_best['manifold']}", file=sys.stderr, flush=True)
 
 
 def _sample_device_stages(splats, cfg, caps):

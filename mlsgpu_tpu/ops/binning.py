@@ -51,6 +51,12 @@ def _level_shift(lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(big > 1, bits, 0)
 
 
+def _level_shift1(big: jnp.ndarray) -> jnp.ndarray:
+    """_level_shift from the per-splat max axis span (1-D form)."""
+    bits = 32 - jax.lax.clz(jnp.maximum(big - 1, 1).astype(jnp.int32))
+    return jnp.where(big > 1, bits, 0)
+
+
 def _point_box_dist2(pos: jnp.ndarray, blo: jnp.ndarray, bhi: jnp.ndarray) -> jnp.ndarray:
     nearest = jnp.clip(pos, blo, bhi)
     d = nearest - pos
@@ -86,14 +92,21 @@ def bin_splats(splats: jnp.ndarray, valid: jnp.ndarray,
       max_shift: root node size = 2^max_shift cells (levels+subsampling-1).
     """
     n = splats.shape[0]
-    pos = splats[:, 0:3]
     r = splats[:, 3]
-    origin = cell_origin.astype(jnp.int32)[None, :]
 
-    lo_g = jnp.floor(pos - r[:, None]).astype(jnp.int32)
-    hi_g = jnp.floor(pos + r[:, None]).astype(jnp.int32)
-    shift = jnp.clip(_level_shift(lo_g, hi_g), min_shift, max_shift)
-    ilo = jnp.maximum(lo_g - origin, 0) >> shift[:, None]
+    # Everything below runs on per-axis (N,) vectors, NOT (N, 3) arrays: a
+    # trailing dim of 3 puts 3 values in 128-wide VPU lanes (~2% lane
+    # utilization) and cost a measured 25 ms/block for the key pass alone;
+    # the per-axis form is bitwise identical (same elementwise ops) at full
+    # lane width.
+    px = [splats[:, a] for a in range(3)]
+    org = [cell_origin[a].astype(jnp.int32) for a in range(3)]
+    lo_g = [jnp.floor(px[a] - r).astype(jnp.int32) for a in range(3)]
+    hi_g = [jnp.floor(px[a] + r).astype(jnp.int32) for a in range(3)]
+    big = jnp.maximum(jnp.maximum(hi_g[0] - lo_g[0], hi_g[1] - lo_g[1]),
+                      hi_g[2] - lo_g[2])
+    shift = jnp.clip(_level_shift1(big), min_shift, max_shift)
+    ilo = [jnp.maximum(lo_g[a] - org[a], 0) >> shift for a in range(3)]
 
     offs = jnp.asarray(level_offsets(min_shift, max_shift))
     level_offset = offs[shift - min_shift]
@@ -102,19 +115,35 @@ def bin_splats(splats: jnp.ndarray, valid: jnp.ndarray,
     r2 = r * r
     r2_conservative = r2 * 1.00001  # octree.cl:194
 
+    def axis_d2(a, d):
+        """Squared axis distance from the splat to node slab [addr, addr+1)
+        at `shift` (the axis term of the point-box distance)."""
+        addr = ilo[a] + d
+        blo = ((addr << shift) + org[a]).astype(jnp.float32)
+        bhi = (((addr + 1) << shift) + org[a]).astype(jnp.float32)
+        nearest = jnp.clip(px[a], blo, bhi)
+        dd = nearest - px[a]
+        return addr, dd * dd
+
+    # Per-axis tables for d in {0, 1}: 6 slab tests total instead of 24
+    # (the 8 corner tests share axis terms).
+    addr_t = [[None, None], [None, None], [None, None]]
+    d2_t = [[None, None], [None, None], [None, None]]
+    for a in range(3):
+        for d in (0, 1):
+            addr_t[a][d], d2_t[a][d] = axis_d2(a, d)
+
     keys = []
     for dz in (0, 1):
         for dy in (0, 1):
             for dx in (0, 1):
-                addr = ilo + jnp.array([dx, dy, dz], dtype=jnp.int32)
-                blo = ((addr << shift[:, None]) + origin).astype(jnp.float32)
-                bhi = (((addr + 1) << shift[:, None]) + origin).astype(jnp.float32)
-                isect = _point_box_dist2(pos, blo, bhi) < r2_conservative
-                inb = jnp.all(addr < bound[:, None], axis=-1)
+                ax, ay, az = addr_t[0][dx], addr_t[1][dy], addr_t[2][dz]
+                d2 = d2_t[0][dx] + d2_t[1][dy] + d2_t[2][dz]
+                isect = d2 < r2_conservative
+                inb = (ax < bound) & (ay < bound) & (az < bound)
                 key = level_offset + morton.encode_jnp(
-                    addr[:, 0].astype(jnp.uint32),
-                    addr[:, 1].astype(jnp.uint32),
-                    addr[:, 2].astype(jnp.uint32))
+                    ax.astype(jnp.uint32), ay.astype(jnp.uint32),
+                    az.astype(jnp.uint32))
                 keys.append(jnp.where(isect & inb & valid, key, INVALID_KEY))
     all_keys = jnp.concatenate(keys)                       # (8N,)
     all_vals = jnp.tile(jnp.arange(n, dtype=jnp.int32), 8)  # (8N,)

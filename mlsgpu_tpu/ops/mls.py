@@ -324,10 +324,16 @@ def canonical_face_field(field: jnp.ndarray,
         idx = idx.reshape(chunk, K4)
         slot_ok = slot_ok.reshape(chunk, K4)
 
-        data = entry_data[idx]                               # (C, 4K, 8)
         ids = entry_vals[idx]                                # (C, 4K)
 
-        # canonical splat-to-patch-rectangle filter (global f32 coords)
+        # canonical splat-to-patch-rectangle filter (global f32 coords);
+        # only the 3 position columns are gathered here — the full 8-wide
+        # rows are gathered ONCE, after the sorts (the sorts then carry 3
+        # operands instead of 11; sorting the 8 data columns through both
+        # sorts was measured slower than one extra row gather)
+        pos3 = entry_data[:, 0:3]
+        ppos = pos3[idx]                                     # (C, 4K, 3)
+        invr2_pre = entry_data[:, 3][idx]                    # (C, 4K)
         pg = plane_g[ridx].astype(jnp.float32)[:, None]
         bb = base_b[ridx].astype(jnp.float32)[:, None]
         bc = base_c[ridx].astype(jnp.float32)[:, None]
@@ -335,23 +341,25 @@ def canonical_face_field(field: jnp.ndarray,
         bj = b_j[ridx]
         cj = c_j[ridx]
         ci = jnp.arange(chunk)[:, None]
-        p_a = data[ci, jnp.arange(K4)[None, :], aa[:, None]]
-        p_b = data[ci, jnp.arange(K4)[None, :], bj[:, None]]
-        p_c = data[ci, jnp.arange(K4)[None, :], cj[:, None]]
+        k4r = jnp.arange(K4)[None, :]
+        p_a = ppos[ci, k4r, aa[:, None]]
+        p_b = ppos[ci, k4r, bj[:, None]]
+        p_c = ppos[ci, k4r, cj[:, None]]
         da = p_a - pg
         db = jnp.maximum(jnp.maximum(bb - p_b, p_b - (bb + 7.0)), 0.0)
         dc = jnp.maximum(jnp.maximum(bc - p_c, p_c - (bc + 7.0)), 0.0)
         rect2 = da * da + db * db + dc * dc
-        valid = slot_ok & (rect2 * data[:, :, 3] < cut)      # (C, 4K)
+        valid = slot_ok & (rect2 * invr2_pre < cut)          # (C, 4K)
 
         # sort 1: identity-major, for the duplicate drop (a splat can sit
-        # in several covering tiles' lists)
+        # in several covering tiles' lists). Payload is the entry INDEX —
+        # duplicate slots reference different entries of the same physical
+        # splat, whose rows are bitwise identical, so gathering through
+        # either index yields the same data.
         vkey = jnp.where(valid, jnp.uint32(0), jnp.uint32(1))
-        ops1 = jax.lax.sort(
-            (vkey, ids) + tuple(data[:, :, i] for i in range(8)),
-            num_keys=2)
+        ops1 = jax.lax.sort((vkey, ids, idx), num_keys=2)
         ids1 = ops1[1]
-        cols1 = ops1[2:]
+        idx1 = ops1[2]
         v1 = ops1[0] == 0
         dup = jnp.zeros_like(v1).at[:, 1:].set(
             v1[:, 1:] & v1[:, :-1] & (ids1[:, 1:] == ids1[:, :-1]))
@@ -361,14 +369,12 @@ def canonical_face_field(field: jnp.ndarray,
         # compaction. Sort 1 already ordered valid entries by globally
         # unique splat id, which is block-independent, so stably moving
         # invalid/dup slots to the end leaves both blocks with identical
-        # physical splats at identical slot positions (no feature-tuple
-        # keys needed — a 1-key sort, not 10).
+        # physical splats at identical slot positions.
         vkey2 = jnp.where(v2, jnp.uint32(0), jnp.uint32(1))
-        ops2 = jax.lax.sort(
-            (vkey2,) + cols1 + (v2.astype(jnp.int32),),
-            num_keys=1, is_stable=True)
-        cols = jnp.stack(ops2[1:9], axis=-1)                 # (C, 4K, 8)
-        sval = ops2[9] == 1                                  # (C, 4K)
+        ops2 = jax.lax.sort((vkey2, idx1, v2.astype(jnp.int32)),
+                            num_keys=1, is_stable=True)
+        cols = entry_data[ops2[1]]                           # (C, 4K, 8)
+        sval = ops2[2] == 1                                  # (C, 4K)
 
         # patch frame (multiple-of-8 global anchor): exact in f32
         pf = jnp.zeros((chunk, 3), jnp.int32)

@@ -618,6 +618,7 @@ def reconstruct_distributed(source: SplatSource, cfg: ReconstructConfig,
     from mlsgpu_tpu.pipeline.reconstruct import default_occ_tile_cap
     mesher = OOCMesher(info.grid, prune=cfg.fit_prune,
                        reorder_budget=cfg.mem_reorder)
+    mesher.chunk_cells = chunk_cells
     caps = BlockCaps(cfg.tile_candidates, cfg.cell_cap, cfg.vertex_cap,
                      cfg.index_cap, occ_tile_cap=default_occ_tile_cap(cfg))
     progress = DistributedProgress(transport,

@@ -132,6 +132,40 @@ class OOCMesher:
         self._nsegs = 0              # spill segment descriptors
         self._eager = None           # eager per-chunk write state
         self._vertices_total = 0     # welded vertices added so far
+        # Output-chunk edge length in grid cells (None for unchunked
+        # output); recorded into every output PLY's geometry comment so
+        # offline verifiers can locate chunk cut planes (tools/verify_chunks).
+        self.chunk_cells: Optional[int] = None
+
+    def _geom_comments(self) -> List[str]:
+        """Self-describing geometry provenance for output PLYs: the grid →
+        world transform ((v + ext_lo) * spacing + reference) and the chunk
+        size, enough for tools/verify_chunks to reconstruct cut-plane
+        positions without the run's config (the reference likewise embeds
+        provenance in PLY comments, src/mlsgpu_core.cpp:680-685)."""
+        g = self.grid
+        lo = " ".join(str(int(e[0])) for e in g.extents)
+        ref = " ".join(repr(float(v)) for v in g.reference)
+        return [(f"mlsgpu_tpu geom spacing={float(g.spacing)!r} "
+                 f"reference={ref} ext_lo={lo} "
+                 f"chunk_cells={int(self.chunk_cells or 0)}")]
+
+    def _make_factory(self, writer_factory, comments=None):
+        """Writer factory that always appends the geometry comment (to the
+        default PlyWriter or to a caller-provided factory's writers)."""
+        geom = self._geom_comments()
+        if writer_factory is None:
+            base = list(comments or []) + geom
+            return lambda: PlyWriter(comments=base)
+
+        def f():
+            w = writer_factory()
+            add = getattr(w, "add_comment", None)
+            if add is not None:
+                for c in geom:
+                    add(c)
+            return w
+        return f
 
     # ----------------------------------------------------------- eager write
     def enable_eager_write(self, path: str, expected_blocks: Dict,
@@ -158,8 +192,7 @@ class OOCMesher:
             raise StateError("mesher already finalized")
         self._eager = {
             "path": path,
-            "writer_factory": writer_factory or (
-                lambda: PlyWriter(comments=comments)),
+            "writer_factory": self._make_factory(writer_factory, comments),
             "expected": dict(expected_blocks),
             "expected_total": sum(expected_blocks.values()),
             "seen": {},
@@ -526,7 +559,7 @@ class OOCMesher:
         set (the distributed path computes it globally across hosts)."""
         self._eager_finish()
         self._finalize()
-        writer_factory = writer_factory or (lambda: PlyWriter(comments=comments))
+        writer_factory = self._make_factory(writer_factory, comments)
         pruned = (pruned_override if pruned_override is not None
                   else self._pruned_roots())
         pruned_arr = (np.sort(np.fromiter(pruned, dtype=np.int64,
@@ -769,6 +802,7 @@ class OOCMesher:
             "chunks": self.chunks,
             "vert_path": self._verts.flush_all(),
             "tri_path": self._tris.flush_all(),
+            "chunk_cells": self.chunk_cells,
         }
         with open(path, "wb") as f:
             pickle.dump(state, f)
@@ -793,6 +827,7 @@ class OOCMesher:
         mesher._finalized = True
         mesher._stats = get_registry()
         mesher._eager = None
+        mesher.chunk_cells = state.get("chunk_cells")
         return mesher
 
     def cleanup(self) -> None:

@@ -61,11 +61,18 @@ def default_occ_tile_cap(cfg) -> int:
 
 
 def default_march_tile_cap(cfg) -> int:
-    """Initial marching candidate-tile cap. Candidacy is any-finite-corner
-    (a superset of MLS-occupied: the face/skeleton passes widen the finite
-    set slightly), so give it the same 1/8-of-grid start as the MLS cap;
-    generate() clamps to the true tile count, so small test blocks never
-    overshoot."""
+    """Initial marching candidate-tile cap; 0 selects the dense
+    classification path. Candidacy is any-finite-corner (a superset of
+    MLS-occupied: the face/skeleton passes widen the finite set slightly).
+
+    Measured on the bench block (256^3 corners, r5): dense classify runs in
+    38 ms vs 73 ms tiled — the tiled path's (tile_cap, 9^3) candidate
+    gather costs more than classifying the whole volume with shifted dense
+    views, because TPU random gathers are per-element latency-bound. Tile
+    compaction only pays once the volume is big enough that dense sign
+    passes dominate (~512^3+), so it engages above 2^8 corners/axis."""
+    if cfg.device_block_cells + 1 <= (1 << 8):
+        return 0
     g = -(-cfg.device_block_cells // 8)
     num_tiles = g ** 3
     return max(min(num_tiles, 512), num_tiles // 8)
@@ -110,8 +117,12 @@ def load_cached_caps(cfg) -> "BlockCaps":
                                  int(saved.get("index_cap", 0)))
             caps.occ_tile_cap = max(caps.occ_tile_cap,
                                     int(saved.get("occ_tile_cap", 0)))
-            caps.march_tile_cap = max(caps.march_tile_cap,
-                                      int(saved.get("march_tile_cap", 0)))
+            # march_tile_cap == 0 means the dense path was CHOSEN for this
+            # geometry (faster below 512^3); a cached tiled cap must not
+            # re-enable tiling.
+            if caps.march_tile_cap:
+                caps.march_tile_cap = max(caps.march_tile_cap,
+                                          int(saved.get("march_tile_cap", 0)))
     except (OSError, ValueError, KeyError):
         pass
     return caps
@@ -317,6 +328,8 @@ def reconstruct(source: SplatSource, cfg: ReconstructConfig, output: str,
 
     mesher = mesher or OOCMesher(info.grid, prune=cfg.fit_prune,
                                  reorder_budget=cfg.mem_reorder)
+    if chunk_cells is not None:
+        mesher.chunk_cells = chunk_cells
     if caps is None:
         caps = load_cached_caps(cfg)
 

@@ -141,6 +141,10 @@ def main(argv=None):
                    help="fail if peak RSS exceeds this")
     p.add_argument("--split-size", default="500M",
                    help="output chunking (keeps single-file writes bounded)")
+    p.add_argument("--verify", type=int, default=10, metavar="N",
+                   help="after the run: manifold-check N sampled chunks and "
+                        "run the cross-chunk continuity pass "
+                        "(tools/verify_chunks); 0 = skip")
     args = p.parse_args(argv)
 
     from mlsgpu_tpu.cli import _enable_compile_cache
@@ -189,9 +193,19 @@ def main(argv=None):
         "rss_ok": rss <= budget,
         "output_files": len(files),
     }
+    verify_ok = True
+    if args.verify and not args.checkpoint:
+        # Verify the artifact we just timed (manifold sample + cross-chunk
+        # continuity — the chunked-output welding contract, reference
+        # src/mesher.cpp:763-852). Outside the timed window.
+        from mlsgpu_tpu.tools.verify_chunks import verify
+        result["verify"] = verify(args.out, sample=args.verify,
+                                  log=lambda s: print(s, file=sys.stderr,
+                                                      flush=True))
+        verify_ok = result["verify"]["ok"]
     print(json.dumps(result))
     get_registry().dump(sys.stderr)
-    return 0 if rss <= budget else 1
+    return 0 if (rss <= budget and verify_ok) else 1
 
 
 if __name__ == "__main__":

@@ -69,7 +69,14 @@ def bound_mmap_threshold(limit: int = 128 * 1024) -> bool:
             import ctypes
             _LIBC = ctypes.CDLL("libc.so.6")
         M_MMAP_THRESHOLD = -3
-        return bool(_LIBC.mallopt(M_MMAP_THRESHOLD, int(limit)))
+        M_MMAP_MAX = -4
+        ok = bool(_LIBC.mallopt(M_MMAP_THRESHOLD, int(limit)))
+        # glibc's default M_MMAP_MAX is 65536 concurrent mmap'd chunks;
+        # past it malloc silently falls back to brk and the dead-heap
+        # pathology returns. The budgets keep live chunks far below that,
+        # but the failure would be silent, so raise the cap outright.
+        _LIBC.mallopt(M_MMAP_MAX, 1 << 20)
+        return ok
     except Exception:
         return False
 
