@@ -86,7 +86,16 @@ class SpillStore:
         return off
 
     def _flush_loop(self) -> None:
+        import time as _time
         stats_timer = self._stats.timer("spill.flush")
+        # On a 1-core host the flusher's WALL time is dominated by GIL
+        # waits while the main thread computes (measured: 503 s wall at
+        # 100M vs ~33 s of actual IO at the disk's 538 MB/s). Record CPU
+        # seconds and bytes alongside so the dump separates real work from
+        # scheduling (the r4 number read as a host-side bottleneck it
+        # is not).
+        cpu_var = self._stats.variable("spill.flushCpu")
+        bytes_ctr = self._stats.counter("spill.flushBytes")
         while True:
             with self._lock:
                 while (self._mem_bytes <= self._budget // 2
@@ -99,6 +108,7 @@ class SpillStore:
                 data = self._mem[0]
                 off = self._mem_offsets[0]
             try:
+                t_cpu = _time.thread_time()
                 with stats_timer:
                     # Preallocate ahead in 64 MiB steps: appends into
                     # unallocated space run ~300x slower than into
@@ -114,6 +124,8 @@ class SpillStore:
                         except OSError:
                             self._allocated = 1 << 62  # stop trying
                     self._pwrite(data, off)
+                cpu_var.add(_time.thread_time() - t_cpu)
+                bytes_ctr.add(len(data))
             except BaseException as e:
                 with self._lock:
                     self._error = e

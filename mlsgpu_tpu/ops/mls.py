@@ -305,8 +305,18 @@ def canonical_face_field(field: jnp.ndarray,
     bf = jnp.float32(boundary_factor)
     out_init = jnp.full((nrows, 64), jnp.nan, jnp.float32)
 
+    # After rect-filter + dedup, the kept candidates of one 8x8 patch are
+    # the splats within reach of a single-tile-sized rectangle — the same
+    # population the interior pass bounds by K per tile — so the heavy
+    # per-slot stages (row gather + distance/moment einsums) run on a
+    # K2 = K compaction of the 4K slot table (4x less gather/compute).
+    # kept_max is returned to the caller: > K2 means contributions were
+    # dropped and the block must retry with a larger max_candidates, like
+    # every other cap.
+    K2 = K
+
     def chunk_body(carry):
-        j, out = carry
+        j, out, kmax = carry
         ridx = jax.lax.dynamic_slice(order, (j * chunk,), (chunk,))
         tids = tid4[ridx].reshape(-1)                        # (4C,)
 
@@ -324,16 +334,13 @@ def canonical_face_field(field: jnp.ndarray,
         idx = idx.reshape(chunk, K4)
         slot_ok = slot_ok.reshape(chunk, K4)
 
+        # Rect filter needs only position + 1/r^2: gather the contiguous
+        # first 4 columns (half the bytes of full rows); the full 8-wide
+        # rows are gathered once, post-compaction, at K2 width.
+        pre = entry_data[:, 0:4][idx]                        # (C, 4K, 4)
         ids = entry_vals[idx]                                # (C, 4K)
 
-        # canonical splat-to-patch-rectangle filter (global f32 coords);
-        # only the 3 position columns are gathered here — the full 8-wide
-        # rows are gathered ONCE, after the sorts (the sorts then carry 3
-        # operands instead of 11; sorting the 8 data columns through both
-        # sorts was measured slower than one extra row gather)
-        pos3 = entry_data[:, 0:3]
-        ppos = pos3[idx]                                     # (C, 4K, 3)
-        invr2_pre = entry_data[:, 3][idx]                    # (C, 4K)
+        # canonical splat-to-patch-rectangle filter (global f32 coords)
         pg = plane_g[ridx].astype(jnp.float32)[:, None]
         bb = base_b[ridx].astype(jnp.float32)[:, None]
         bc = base_c[ridx].astype(jnp.float32)[:, None]
@@ -341,15 +348,14 @@ def canonical_face_field(field: jnp.ndarray,
         bj = b_j[ridx]
         cj = c_j[ridx]
         ci = jnp.arange(chunk)[:, None]
-        k4r = jnp.arange(K4)[None, :]
-        p_a = ppos[ci, k4r, aa[:, None]]
-        p_b = ppos[ci, k4r, bj[:, None]]
-        p_c = ppos[ci, k4r, cj[:, None]]
+        p_a = pre[ci, jnp.arange(K4)[None, :], aa[:, None]]
+        p_b = pre[ci, jnp.arange(K4)[None, :], bj[:, None]]
+        p_c = pre[ci, jnp.arange(K4)[None, :], cj[:, None]]
         da = p_a - pg
         db = jnp.maximum(jnp.maximum(bb - p_b, p_b - (bb + 7.0)), 0.0)
         dc = jnp.maximum(jnp.maximum(bc - p_c, p_c - (bc + 7.0)), 0.0)
         rect2 = da * da + db * db + dc * dc
-        valid = slot_ok & (rect2 * invr2_pre < cut)          # (C, 4K)
+        valid = slot_ok & (rect2 * pre[:, :, 3] < cut)       # (C, 4K)
 
         # sort 1: identity-major, for the duplicate drop (a splat can sit
         # in several covering tiles' lists). Payload is the entry INDEX —
@@ -359,11 +365,12 @@ def canonical_face_field(field: jnp.ndarray,
         vkey = jnp.where(valid, jnp.uint32(0), jnp.uint32(1))
         ops1 = jax.lax.sort((vkey, ids, idx), num_keys=2)
         ids1 = ops1[1]
-        idx1 = ops1[2]
         v1 = ops1[0] == 0
         dup = jnp.zeros_like(v1).at[:, 1:].set(
             v1[:, 1:] & v1[:, :-1] & (ids1[:, 1:] == ids1[:, :-1]))
         v2 = v1 & ~dup
+        kmax = jnp.maximum(kmax, jnp.max(jnp.sum(v2.astype(jnp.int32),
+                                                 axis=1)))
 
         # sort 2: canonical final order — a *stable* validity-only
         # compaction. Sort 1 already ordered valid entries by globally
@@ -371,10 +378,10 @@ def canonical_face_field(field: jnp.ndarray,
         # invalid/dup slots to the end leaves both blocks with identical
         # physical splats at identical slot positions.
         vkey2 = jnp.where(v2, jnp.uint32(0), jnp.uint32(1))
-        ops2 = jax.lax.sort((vkey2, idx1, v2.astype(jnp.int32)),
+        ops2 = jax.lax.sort((vkey2, ops1[2], v2.astype(jnp.int32)),
                             num_keys=1, is_stable=True)
-        cols = entry_data[ops2[1]]                           # (C, 4K, 8)
-        sval = ops2[2] == 1                                  # (C, 4K)
+        cols = entry_data[ops2[1][:, :K2]]                   # (C, K2, 8)
+        sval = ops2[2][:, :K2] == 1                          # (C, K2)
 
         # patch frame (multiple-of-8 global anchor): exact in f32
         pf = jnp.zeros((chunk, 3), jnp.int32)
@@ -436,10 +443,15 @@ def canonical_face_field(field: jnp.ndarray,
                                    precision=jax.lax.Precision.HIGHEST)
 
         vals = fit(sum_w, sum_wp, sum_wpp, sn, sum_wpn, hits, bf)
-        return j + 1, out.at[ridx].set(vals)
+        return j + 1, out.at[ridx].set(vals), kmax
 
-    _, out = jax.lax.while_loop(lambda c: c[0] < n_chunks, chunk_body,
-                                (0, out_init))
+    _, out, kept_max = jax.lax.while_loop(
+        lambda c: c[0] < n_chunks, chunk_body,
+        (0, out_init, jnp.int32(0)))
+    # kept_max > K means the K2 compaction dropped contributions for some
+    # patch: fold it into the returned cap demand so the caller's existing
+    # max_candidates retry covers it.
+    face_max = jnp.maximum(face_max, kept_max)
 
     # scatter the planes back into the dense field (indexed [z, y, x]);
     # patch corners outside this block's extent drop out of bounds

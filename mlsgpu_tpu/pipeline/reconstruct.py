@@ -19,6 +19,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
+import time
+
 import jax
 import numpy as np
 
@@ -247,12 +249,15 @@ def block_result_to_input(result: BlockResult, bucket: bucket_mod.Bucket
             with stats.timer("readback.wait"):
                 flat = np.asarray(result.packed)
             stats.counter("readback.bytes").add(flat.nbytes)
+            t_cpu = time.thread_time()
             with stats.timer("readback.decode"):
                 verts, tris, keys, fe = nat.rebuild_block(
                     flat, result.num_cells, result.num_unwelded, ni,
                     result.pack_fmt.nc_axis,
                     bucket.cell_lo.astype(np.int64),
                     (bucket.cell_hi - bucket.cell_lo).astype(np.int64))
+            stats.variable("readback.decodeCpu").add(
+                time.thread_time() - t_cpu)
             return BlockInput(chunk_id=bucket.chunk_id, vertices=verts,
                               first_external=fe, ext_keys=keys,
                               triangles=tris)
@@ -265,10 +270,13 @@ def block_result_to_input(result: BlockResult, bucket: bucket_mod.Bucket
             with stats.timer("readback.wait"):
                 flat = np.asarray(result.packed)
             stats.counter("readback.bytes").add(flat.nbytes)
+            t_cpu = time.thread_time()
             with stats.timer("readback.decode"):
                 verts, tris, keys = unpack_readback_global(
                     flat, ni, nv, fe, result.pack_fmt,
                     bucket.cell_lo.astype(np.int64))
+            stats.variable("readback.decodeCpu").add(
+                time.thread_time() - t_cpu)
             return BlockInput(chunk_id=bucket.chunk_id, vertices=verts,
                               first_external=fe, ext_keys=keys,
                               triangles=tris)

@@ -218,10 +218,11 @@ def main(argv=None):
                binned.entry_vals, starts, lens, o_d, r_d)
 
     # ---- classify internals ------------------------------------------------
+    mtc = caps.march_tile_cap or 4096  # probe the tiled path regardless
+
     @jax.jit
     def classify_full(f, r):
-        out = marching._classify_tiled(f, r, caps.cell_cap,
-                                       caps.march_tile_cap)
+        out = marching._classify_tiled(f, r, caps.cell_cap, mtc)
         return out[6], out[7], out[8], jnp.sum(out[0]), jnp.sum(out[1])
 
     @jax.jit
@@ -239,7 +240,7 @@ def main(argv=None):
                 .any(axis=1))
         num_tiles = jnp.sum(cand.astype(jnp.int32))
         order = jnp.argsort(~cand, stable=True).astype(jnp.int32)
-        tcap = min(int(caps.march_tile_cap), g ** 3)
+        tcap = min(int(mtc), g ** 3)
         tids = order[:tcap]
         t_x = tids % g
         t_y = (tids // g) % g

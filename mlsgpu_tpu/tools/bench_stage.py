@@ -167,9 +167,14 @@ def main(argv=None):
 
     def p_classify(s, va, r, o, points):
         field = _field_through_faces(s, va, r, o, points)
-        (occ_iso, occ_code, cx, cy, cz, occ_valid, num_cells,
-         true_nv, true_ni, num_tiles) = marching._classify_tiled(
-            field, r, caps.cell_cap, caps.march_tile_cap)
+        if caps.march_tile_cap:
+            (occ_iso, occ_code, cx, cy, cz, occ_valid, num_cells,
+             true_nv, true_ni, num_tiles) = marching._classify_tiled(
+                field, r, caps.cell_cap, caps.march_tile_cap)
+        else:
+            (occ_iso, occ_code, cx, cy, cz, occ_valid, num_cells,
+             true_nv, true_ni, num_tiles) = marching._classify_dense(
+                field, r, caps.cell_cap)
         return (num_cells, true_nv, true_ni, jnp.sum(occ_iso),
                 jnp.sum(occ_code))
 
