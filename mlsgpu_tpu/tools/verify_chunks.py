@@ -22,11 +22,15 @@ Two checks, both against the geometry the files themselves declare (the
    along the axis, and on-plane vertices all share one exact f32 world
    coordinate there (repeated thousands of times, while interpolated
    near-plane values are continuous and essentially unique). The shared
-   plane value is the bit pattern with the highest min(count_A, count_B);
-   the two files' sets of on-plane (x, y, z) triples must then be equal.
-   A dominant repeated pattern on one side with NO occurrences on the
-   other is itself a failure (the cut cross-section is missing from one
-   file).
+   plane value is the bit pattern with the highest min(count_A, count_B).
+   Vertices present in both files must be bitwise equal; a one-sided
+   on-plane vertex fails ONLY when the other file holds a near-but-not-
+   bitwise twin (a 1-ulp seam crack) -- with no nearby twin it is a
+   legitimate open-surface boundary at the cut plane (the adjacent cell
+   on the other side was boundary-limit rejected; the reference allows
+   boundary there too, test/manifold.h:82-87). A dominant repeated
+   pattern on one side with NO occurrences at all on the other is still
+   a failure (the whole cut cross-section is missing from one file).
 
 Usage:
     python -m mlsgpu_tpu.tools.verify_chunks OUT_BASE.ply \
@@ -175,6 +179,7 @@ def check_continuity(chunks: Dict[Tuple[int, int, int], str], geom: dict,
     pairs = 0
     mismatched = 0
     checked = 0
+    boundary_verts = 0
     examples: List[str] = []
     for coords in chunks:
         for axis in range(3):
@@ -204,18 +209,44 @@ def check_continuity(chunks: Dict[Tuple[int, int, int], str], geom: dict,
             sb = _triple_set(b[b[:, axis].view(np.uint32) == pv])
             only_a = np.setdiff1d(sa, sb)
             only_b = np.setdiff1d(sb, sa)
-            if len(only_a) or len(only_b):
+            # A one-sided on-plane vertex is a CRACK only when the other
+            # file has geometry within a few ULPS of it but not bitwise
+            # equal (float-nondeterminism twins differ by ~1 ulp; see
+            # PLAN.md's seam analysis). With no ulp-near twin it is a
+            # legitimate open-surface boundary at the cut plane: the
+            # adjacent cell on the other side was undefined (boundary-
+            # limit rejection, kernels/mls.cl:394-426) — the reference's
+            # manifold contract allows boundary there too
+            # (test/manifold.h:82-87). Verified on a 100M run: one-sided
+            # vertices form open boundary arcs whose nearest other-side
+            # geometry sits 0.02-2 CELLS away (~100+ ulps), while a
+            # spacing-scaled threshold misread them as cracks.
+            cracks = 0
+            for rec, other in ((only_a, b), (only_b, a)):
+                for r in rec:
+                    v = np.array([r["x"], r["y"], r["z"]],
+                                 np.uint32).view(np.float32)
+                    crack_eps = (4.0 * np.finfo(np.float32).eps
+                                 * max(1.0, float(np.abs(v).max())))
+                    if len(other):
+                        dmin = np.abs(other - v[None, :]).max(axis=1).min()
+                        if dmin < crack_eps:
+                            cracks += 1
+            boundary_verts += len(only_a) + len(only_b) - cracks
+            if cracks:
                 mismatched += 1
                 if len(examples) < 5:
                     examples.append(
-                        f"{coords}->{nb} axis {axis}: |A|={len(sa)} "
-                        f"|B|={len(sb)} onlyA={len(only_a)} "
-                        f"onlyB={len(only_b)}")
+                        f"{coords}->{nb} axis {axis}: {cracks} near-twin "
+                        f"crack(s); |A|={len(sa)} |B|={len(sb)} "
+                        f"onlyA={len(only_a)} onlyB={len(only_b)}")
             log(f"pair {coords}->{nb} axis {axis}: "
                 f"{len(sa)} on-plane verts, "
-                f"{'OK' if not (len(only_a) or len(only_b)) else 'MISMATCH'}")
+                f"{len(only_a) + len(only_b)} one-sided (boundary), "
+                f"{'OK' if not cracks else f'{cracks} CRACKS'}")
     return {"pairs": pairs, "checked": checked,
-            "mismatched_pairs": mismatched, "missing": 0,
+            "mismatched_pairs": mismatched,
+            "boundary_only_verts": int(boundary_verts), "missing": 0,
             "examples": examples}
 
 

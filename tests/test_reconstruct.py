@@ -493,8 +493,12 @@ class TestVerifyChunks:
             with open(path, "r+b") as f:
                 f.seek(off)
                 raw = np.frombuffer(f.read(4), "<f4")[0]
-                f.seek(off)
-                f.write(np.float32(raw + 0.5 * geom["spacing"]).tobytes())
+                # a 2-ULP nudge: the checker flags one-sided verts only
+                # when an ulp-near non-bitwise twin exists (farther away
+                # reads as legitimate open boundary)
+                nudged = np.nextafter(np.nextafter(raw, np.float32(9.0)),
+                                      np.float32(9.0))
+                f.write(np.float32(nudged).tobytes())
             tampered = True
             break
         assert tampered, "no on-plane vertex found to tamper with"
