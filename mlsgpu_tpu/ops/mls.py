@@ -347,10 +347,18 @@ def canonical_face_field(field: jnp.ndarray,
         aa = a_j[ridx]
         bj = b_j[ridx]
         cj = c_j[ridx]
-        ci = jnp.arange(chunk)[:, None]
-        p_a = pre[ci, jnp.arange(K4)[None, :], aa[:, None]]
-        p_b = pre[ci, jnp.arange(K4)[None, :], bj[:, None]]
-        p_c = pre[ci, jnp.arange(K4)[None, :], cj[:, None]]
+        # Axis selection by one-hot arithmetic (integer one-hots and
+        # coordinate values are exact in f32, so values are bitwise equal
+        # to a gather) — C*4K per-element axis gathers were a measured
+        # face-pass hot spot; three fused multiply-reduces are VPU-cheap.
+        ar3 = jnp.arange(3)[None, :]
+        oh_a = (ar3 == aa[:, None]).astype(jnp.float32)      # (C, 3)
+        oh_b = (ar3 == bj[:, None]).astype(jnp.float32)
+        oh_c = (ar3 == cj[:, None]).astype(jnp.float32)
+        p_abc = pre[:, :, 0:3]                               # (C, 4K, 3)
+        p_a = jnp.sum(p_abc * oh_a[:, None, :], axis=-1)
+        p_b = jnp.sum(p_abc * oh_b[:, None, :], axis=-1)
+        p_c = jnp.sum(p_abc * oh_c[:, None, :], axis=-1)
         da = p_a - pg
         db = jnp.maximum(jnp.maximum(bb - p_b, p_b - (bb + 7.0)), 0.0)
         dc = jnp.maximum(jnp.maximum(bc - p_c, p_c - (bc + 7.0)), 0.0)
@@ -383,30 +391,23 @@ def canonical_face_field(field: jnp.ndarray,
         cols = entry_data[ops2[1][:, :K2]]                   # (C, K2, 8)
         sval = ops2[2][:, :K2] == 1                          # (C, K2)
 
-        # patch frame (multiple-of-8 global anchor): exact in f32
-        pf = jnp.zeros((chunk, 3), jnp.int32)
-        ci1 = jnp.arange(chunk)
-        pf = pf.at[ci1, aa].set(base_a[ridx])
-        pf = pf.at[ci1, bj].set(base_b[ridx])
-        pf = pf.at[ci1, cj].set(base_c[ridx])
-        pf_f = pf.astype(jnp.float32)
+        # patch frame (multiple-of-8 global anchor): one-hot assembly,
+        # exact in f32 (integer values, products by 1.0/0.0, disjoint axes)
+        pf_f = (base_a[ridx].astype(jnp.float32)[:, None] * oh_a
+                + base_b[ridx].astype(jnp.float32)[:, None] * oh_b
+                + base_c[ridx].astype(jnp.float32)[:, None] * oh_c)
 
-        x = cols[:, :, 0:3] - pf_f[:, None, :]               # (C, 4K, 3)
+        x = cols[:, :, 0:3] - pf_f[:, None, :]               # (C, K2, 3)
         invr2 = cols[:, :, 3]
         nrm = cols[:, :, 4:7]
         qual = cols[:, :, 7]
 
-        # patch-frame corner coords (the 8x8 in-plane grid at the plane)
-        corners = jnp.zeros((chunk, 64, 3), jnp.float32)
-        k64 = jnp.arange(64)[None, :]
-        corners = corners.at[ci, k64, aa[:, None]].set(
-            (plane_g[ridx] - base_a[ridx]).astype(jnp.float32)[:, None]
-            + jnp.zeros((chunk, 64), jnp.float32))
-        corners = corners.at[ci, k64, bj[:, None]].set(
-            (base_b[ridx] - base_b[ridx])[:, None].astype(jnp.float32)
-            + fb[None, :].astype(jnp.float32))
-        corners = corners.at[ci, k64, cj[:, None]].set(
-            fc[None, :].astype(jnp.float32) + jnp.zeros((chunk, 1)))
+        # patch-frame corner coords (the 8x8 in-plane grid at the plane),
+        # one-hot assembled (same exactness argument)
+        pa_val = (plane_g[ridx] - base_a[ridx]).astype(jnp.float32)
+        corners = (pa_val[:, None, None] * oh_a[:, None, :]
+                   + fb[None, :, None].astype(jnp.float32) * oh_b[:, None, :]
+                   + fc[None, :, None].astype(jnp.float32) * oh_c[:, None, :])
         cc = jnp.sum(corners * corners, axis=-1)             # (C, 64)
 
         x2 = jnp.sum(x * x, axis=-1)
@@ -453,20 +454,38 @@ def canonical_face_field(field: jnp.ndarray,
     # max_candidates retry covers it.
     face_max = jnp.maximum(face_max, kept_max)
 
-    # scatter the planes back into the dense field (indexed [z, y, x]);
-    # patch corners outside this block's extent drop out of bounds
-    r_i = jnp.arange(nrows)
-    r2_i = r_i[:, None]
-    k64n = jnp.arange(64)[None, :]
-    la = (plane_g - org[a_j])[:, None] + jnp.zeros((1, 64), jnp.int32)
-    lb = (base_b - org[b_j])[:, None] + fb[None, :]
-    lc = (base_c - org[c_j])[:, None] + fc[None, :]
-    coords = jnp.full((nrows, 64, 3), -1, jnp.int32)
-    coords = coords.at[r2_i, k64n, a_j[:, None]].set(la)
-    coords = coords.at[r2_i, k64n, b_j[:, None]].set(lb)
-    coords = coords.at[r2_i, k64n, c_j[:, None]].set(lc)
-    field = field.at[coords[..., 2], coords[..., 1], coords[..., 0]].set(
-        out, mode="drop")
+    # Assemble each face's patches into a dense plane image and write it
+    # with ONE sliced update per face: the previous formulation scattered
+    # nrows*64 individual corners into the dense field (TPU scatters
+    # serialize). The patch grid tiles the whole plane, so a reshape/
+    # transpose of `out` IS the plane image; a dynamic slice drops the
+    # pre-origin overhang (org mod 8). Sequential face order (x-, x+, y-,
+    # y+, z-, z+) makes the edge-overlap winner the highest axis in EVERY
+    # block, so blocks sharing an edge corner still agree bitwise (the
+    # skeleton pass canonicalizes decomposition-edge points separately).
+    bdim = field.shape[0]
+    side_np = TILE * n_p
+    for f in range(6):
+        a = f // 2
+        s = f % 2
+        b_ax = (a + 1) % 3
+        c_ax = (a + 2) % 3
+        pface = (out[f * f2:(f + 1) * f2]
+                 .reshape(n_p, n_p, TILE, TILE)
+                 .transpose(0, 2, 1, 3).reshape(side_np, side_np))
+        la = rc[a] if s == 1 else jnp.int32(0)
+        ob = (org[b_ax] // 8) * 8 - org[b_ax]
+        oc = (org[c_ax] // 8) * 8 - org[c_ax]
+        psl = jax.lax.dynamic_slice(pface, (-ob, -oc), (bdim, bdim))
+        if a == 0:    # plane x = la; psl[y, z] -> field[z, y, la]
+            field = jax.lax.dynamic_update_slice(
+                field, psl.T[:, :, None], (0, 0, la))
+        elif a == 1:  # plane y = la; psl[z, x] -> field[z, la, x]
+            field = jax.lax.dynamic_update_slice(
+                field, psl[:, None, :], (0, la, 0))
+        else:         # plane z = la; psl[x, y] -> field[la, y, x]
+            field = jax.lax.dynamic_update_slice(
+                field, psl.T[None, :, :], (la, 0, 0))
     return field, face_max
 
 

@@ -91,9 +91,11 @@ def _caps_cache_key(cfg) -> str:
     # max_device_splats proxies bucket size: caps grown by a dense run
     # should not inflate the programs of an unrelated small run. v2:
     # eighth-pow2 near-fit growth (old pow2-grown entries must not pin the
-    # fat caps).
-    return (f"v2.L{cfg.device_levels}.S{cfg.subsampling}.{cfg.fit_shape}"
-            f".M{cfg.max_device_splats}")
+    # fat caps). v3: fit_grid joins the key — per-block vertex/cell demand
+    # scales with splat density per cell, so a 100M OOC run (fine grid)
+    # was growing the 2M bench's entry to 7x caps (measured r5).
+    return (f"v3.L{cfg.device_levels}.S{cfg.subsampling}.{cfg.fit_shape}"
+            f".M{cfg.max_device_splats}.G{cfg.fit_grid:.4g}")
 
 
 def load_cached_caps(cfg) -> "BlockCaps":

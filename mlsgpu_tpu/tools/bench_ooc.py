@@ -34,12 +34,19 @@ class ProceduralScanSource(SplatSource):
     coherence. Any [a, b) id range is regenerated on demand — the disk-free
     stand-in for a multi-hundred-GB input set."""
 
-    def __init__(self, n: int, radius: float = 3.0, seed: int = 123):
+    def __init__(self, n: int, radius: float = 3.0, seed: int = 123,
+                 splat_scale: float = 1.0):
         self._n = int(n)
         self._radius = float(radius)
         self._seed = seed
-        # splat radius ~3x mean sample spacing for solid coverage
-        self._sr = 3.0 * np.sqrt(4 * np.pi * radius ** 2 / n)
+        # splat radius ~3x mean sample spacing for solid coverage;
+        # splat_scale widens it for coarse-grid runs (--grid-scale) so the
+        # MLS support still reaches every corner of a surface-crossing
+        # cell — at reach < ~1.7 cells (the cell diagonal) corners beyond
+        # the splats' support go NaN and the surface turns to swiss
+        # cheese (measured: a grid-scale 2.5 run with unscaled radii had
+        # HALF its cut-plane vertices on open boundaries).
+        self._sr = 3.0 * np.sqrt(4 * np.pi * radius ** 2 / n) * splat_scale
         # Coherence ordering: sample directions in a coarse lat-long sweep
         # with deterministic jitter — consecutive ids are spatial neighbors
         # (scanline order), like a real scanner pass.
@@ -125,6 +132,11 @@ def main(argv=None):
     p.add_argument("--grid-scale", type=float, default=1.0,
                    help="grid spacing multiplier (>1 = coarser mesh; config-4"
                         " 1B runs need ~2-3x to fit output+spill on disk)")
+    p.add_argument("--splat-scale", type=float, default=None,
+                   help="splat radius multiplier; default 0.8*grid-scale "
+                        "keeps the MLS support ~2.4 cells of reach on "
+                        "coarse grids (closed surfaces) at ~4x the per-"
+                        "tile candidate load of the unit ratio")
     p.add_argument("--checkpoint", default=None,
                    help="run all compute passes, then serialize mesher state"
                         " to PATH instead of writing (config-4 protocol:"
@@ -153,8 +165,30 @@ def main(argv=None):
     from mlsgpu_tpu.pipeline.reconstruct import reconstruct
     from mlsgpu_tpu.utils.statistics import get_registry
 
-    src = ProceduralScanSource(args.splats)
-    spacing = src.splat_radius / 3.0 * args.grid_scale
+    splat_scale = (args.splat_scale if args.splat_scale is not None
+                   else max(1.0, 0.8 * args.grid_scale))
+    src = ProceduralScanSource(args.splats, splat_scale=splat_scale)
+    # spacing derives from the UNSCALED sample spacing so --grid-scale
+    # alone sets the grid; splat_scale then sets the support/spacing ratio
+    spacing = (src.splat_radius / splat_scale) / 3.0 * args.grid_scale
+
+    # Localize RSS spikes per phase (the budgets bound the tracked
+    # containers, but ru_maxrss is process-wide; a 1B run measured an
+    # 85 GB spike none of the tracked peaks explained).
+    import threading
+
+    def _rss_watch():
+        last = 0
+        while True:
+            time.sleep(5)
+            rss = peak_rss_bytes()
+            if rss > last + (2 << 30):
+                last = rss
+                print(f"# rss-watch: peak {rss / 1e9:.1f} GB at "
+                      f"t+{time.monotonic() - t_start:.0f}s",
+                      file=sys.stderr, flush=True)
+    t_start = time.monotonic()
+    threading.Thread(target=_rss_watch, daemon=True).start()
     cfg = ReconstructConfig(
         fit_grid=float(spacing), fit_smooth=1.0, fit_prune=0.02,
         levels=args.levels, subsampling=3,

@@ -482,7 +482,28 @@ class TestVerifyChunks:
                 continue
             plane_u = common[int(np.argmax(
                 [ca[np.searchsorted(ua, c)] for c in common]))]
-            sel = np.where(v[:, 0].view(np.uint32) == plane_u)[0]
+            # pick a vertex SHARED by both files (an A-only on-plane
+            # vertex is legitimate open boundary and would not flag)
+            av = np.ascontiguousarray(v[v[:, 0].view(np.uint32) == plane_u])
+            bv = np.ascontiguousarray(
+                vb[vb[:, 0].view(np.uint32) == plane_u])
+            rec = [("x", np.uint32), ("y", np.uint32), ("z", np.uint32)]
+            shared = np.intersect1d(av.view(np.uint32).reshape(-1, 3).view(rec),
+                                    bv.view(np.uint32).reshape(-1, 3).view(rec))
+            if len(shared) == 0:
+                continue
+            # prefer a vertex whose y is far from zero: the ulp nudge
+            # below steps the mantissa, and ulp(0.0) is a denormal that
+            # does not displace the vertex meaningfully
+            ys = np.stack([shared["y"]]).view(np.float32).ravel()
+            s0 = shared[int(np.argmax(np.abs(ys)))]
+            if abs(float(np.array([s0["y"]], np.uint32)
+                         .view(np.float32)[0])) < 1e-3:
+                continue
+            target = np.array([s0["x"], s0["y"], s0["z"]], np.uint32)
+            sel = np.where(
+                (np.asarray(v).view(np.uint32) == target[None, :])
+                .all(axis=1))[0]
             if len(sel) == 0:
                 continue
             from mlsgpu_tpu.io.ply import parse_header
@@ -492,13 +513,12 @@ class TestVerifyChunks:
             off = h.header_size + int(sel[0]) * 12 + 4  # y coordinate
             with open(path, "r+b") as f:
                 f.seek(off)
-                raw = np.frombuffer(f.read(4), "<f4")[0]
-                # a 2-ULP nudge: the checker flags one-sided verts only
-                # when an ulp-near non-bitwise twin exists (farther away
-                # reads as legitimate open boundary)
-                nudged = np.nextafter(np.nextafter(raw, np.float32(9.0)),
-                                      np.float32(9.0))
-                f.write(np.float32(nudged).tobytes())
+                raw_u = np.frombuffer(f.read(4), "<u4")[0]
+                # a 2-ULP nudge (mantissa +2): the checker flags one-sided
+                # verts only when an ulp-near non-bitwise twin exists
+                # (farther away reads as legitimate open boundary)
+                f.seek(off)
+                f.write(np.uint32(raw_u + 2).tobytes())
             tampered = True
             break
         assert tampered, "no on-plane vertex found to tamper with"
