@@ -363,7 +363,7 @@ def _check_output_manifold(files) -> None:
             tot_v += len(verts)
             tot_t += len(tris)
             rep = check_manifold(verts, tris)
-            if not rep.ok:
+            if not rep.is_manifold:
                 worst = rep
                 break
         if worst is not None:
