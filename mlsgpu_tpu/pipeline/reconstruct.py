@@ -53,13 +53,21 @@ class BlockCaps:
     march_tile_cap: int = 0
 
 
+# The pallas kernel's compacted occupied-tile list is a scalar-prefetch
+# argument and lives in SMEM (~1 MiB/core): 262144 int32 entries overflow
+# it (measured: a 1023^3-dispatch compile failed with "Used 1.02M of 1.00M
+# smem"). Blocks whose surface crosses more tiles than this must run with
+# a smaller --device-block-shift.
+MAX_OCC_TILE_CAP = 180224
+
+
 def default_occ_tile_cap(cfg) -> int:
     """Initial occupied-tile cap: an eighth of the tile grid (a surface
     crosses a few percent of tiles; 1/8 leaves growth headroom without
-    wasting grid steps)."""
+    wasting grid steps), bounded by the SMEM scalar-prefetch limit."""
     tpa = (cfg.device_block_cells + 1) // 8
     num_tiles = tpa ** 3
-    return max(min(num_tiles, 512), num_tiles // 8)
+    return min(max(min(num_tiles, 512), num_tiles // 8), MAX_OCC_TILE_CAP)
 
 
 def default_march_tile_cap(cfg) -> int:

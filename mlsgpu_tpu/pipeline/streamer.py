@@ -172,8 +172,20 @@ def _check_overflow(result: BlockResult, built, caps, counts=None,
         retry = True
     if built.occ_tile_cap and getattr(result, "num_occ_tiles", None) is not None:
         if n_occ > built.occ_tile_cap:
+            from mlsgpu_tpu.pipeline.reconstruct import MAX_OCC_TILE_CAP
+            from mlsgpu_tpu.utils.errors import MlsError
+            if n_occ > MAX_OCC_TILE_CAP:
+                # The compacted tile list is SMEM-resident scalar prefetch;
+                # growing past the hardware bound would fail at compile
+                # time with an opaque Mosaic error — fail with the remedy.
+                raise MlsError(
+                    f"block needs {n_occ} occupied MLS tiles, above the "
+                    f"SMEM scalar-prefetch bound ({MAX_OCC_TILE_CAP}); "
+                    "re-run with a smaller --device-block-shift so device "
+                    "dispatches cover fewer tiles")
             old = caps.occ_tile_cap
-            caps.occ_tile_cap = grow(caps.occ_tile_cap, n_occ)
+            caps.occ_tile_cap = min(grow(caps.occ_tile_cap, n_occ),
+                                    MAX_OCC_TILE_CAP)
             note("occTiles", old, caps.occ_tile_cap, n_occ)
             retry = True
     if (getattr(built, "march_tile_cap", 0)

@@ -129,6 +129,9 @@ def main(argv=None):
     p.add_argument("--splats", type=int, default=100_000_000)
     p.add_argument("--out", default="/tmp/mlsgpu_ooc/out.ply")
     p.add_argument("--levels", type=int, default=6)
+    p.add_argument("--device-shift", type=int, default=None,
+                   help="--device-block-shift: log2 corners per device "
+                        "dispatch (blocks above it stream as sub-volumes)")
     p.add_argument("--grid-scale", type=float, default=1.0,
                    help="grid spacing multiplier (>1 = coarser mesh; config-4"
                         " 1B runs need ~2-3x to fit output+spill on disk)")
@@ -192,6 +195,8 @@ def main(argv=None):
     cfg = ReconstructConfig(
         fit_grid=float(spacing), fit_smooth=1.0, fit_prune=0.02,
         levels=args.levels, subsampling=3,
+        **({"device_block_shift": args.device_shift}
+           if args.device_shift else {}),
         max_device_splats=4 << 20,
         tile_candidates=1 << 10,
         mem_blobs=parse_capacity(args.mem_blobs),
